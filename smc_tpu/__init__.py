@@ -1,0 +1,20 @@
+"""smc-tpu: TPU-native likelihood-tempered Sequential Monte Carlo.
+
+A from-scratch JAX/XLA rebuild of the capabilities of
+``maruchitatsuki/python-based-Sequential-Monte-Carlo-method-with-likelihood-tempering``:
+Bayesian parameter estimation for ODE/DAE simulators via SMC with adaptive
+likelihood tempering, residual-systematic resampling, and adaptive
+random-walk Metropolis mutation — with the particle axis sharded over a
+TPU device mesh instead of Ray tasks over CPU cores.
+"""
+from smc_tpu.config import SMCConfig
+from smc_tpu.priors import Prior
+from smc_tpu.smc.state import SMCState
+from smc_tpu.smc.driver import init_state, make_smc_step, run_smc, run_smc_on_device
+from smc_tpu.smc.kernels import (
+    find_gamma,
+    residual_systematic_resample,
+    mh_mutation,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,153 @@
+"""Michaelis-Menten enzyme-kinetics model (the reference's lightweight example).
+
+Reference behavior being rebuilt (NOT ported):
+- ODE dS/dt = -Vmax*S/(Km+S), product P = S0 - S
+  (SMC_example/Micmem_likelihood.py:14-33).
+- 6 pseudo-datasets, each 40 observation times on [0, 10], S0 in
+  {2.0, 0.1, 0.25, 0.5, 1.0, 2.0} (dataset 0 is a duplicate of the S0=2.0
+  run; the generator writes files 1..5 while the loader reads 0..5 —
+  Micmen_generate_data.py:45-64 vs Micmem_settings.py:104-113).
+- Gaussian iid noise likelihood per dataset:
+  logL_i = -0.5*n*log(2*pi*sigma^2) - sum(r^2)/(2*sigma^2), summed over
+  datasets; sigma <= 0 -> -inf (Micmem_likelihood.py:53-71).
+- Priors: Uniform(0,10) on each of (Vmax, Km, sigma)
+  (Micmem_settings.py:63-67); true values Vmax=1.2, Km=0.5, noise 0.02.
+
+TPU-first design: all datasets share one observation grid, so a single
+integrator call propagates the full (n_datasets,) state vector; ``vmap`` adds
+the particle axis. Two simulators:
+- "rk4"   — fixed-grid RK4 (parity with the reference's RK45 within solver
+            tolerance; default).
+- "exact" — closed-form via Lambert W (smc_tpu/ops/lambertw.py): the whole
+            likelihood becomes fused elementwise VPU work, no time stepping.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smc_tpu.ops.ode import rk4_grid
+from smc_tpu.ops.lambertw import lambertw
+from smc_tpu.priors import Prior
+
+_LOG2PI = float(np.log(2 * np.pi))
+
+MM_TRUE_VMAX = 1.2
+MM_TRUE_KM = 0.5
+MM_TRUE_NOISE = 0.02
+# S0 per dataset as loaded by the reference (index 0 duplicates the last
+# generated file's S0=2.0 — see module docstring).
+MM_S0_LIST = (2.0, 0.1, 0.25, 0.5, 1.0, 2.0)
+
+
+def _simulate_rk4(Vmax, Km, S0, ts, substeps):
+    """S(t) on grid for a vector of initial conditions S0 (n_ds,)."""
+    def f(t, S):
+        return -Vmax * S / (Km + S)
+    return rk4_grid(f, S0, ts, substeps=substeps)  # (T, n_ds)
+
+
+def _simulate_exact(Vmax, Km, S0, ts):
+    """Closed-form S(t) = Km * W((S0/Km) exp((S0 - Vmax t)/Km))."""
+    Km = jnp.maximum(Km, 1e-8)
+    # log z = log(S0/Km) + (S0 - Vmax t)/Km, computed in log space to avoid
+    # overflow of exp() for small Km.
+    logz = jnp.log(S0 / Km)[None, :] + (S0[None, :] - Vmax * ts[:, None]) / Km
+    # W(e^x): for large x use asymptotic-safe iteration on w*e^w = e^x
+    # via lambertw of clipped z plus a correction; here logz stays modest
+    # (S0<=2, Vmax,Km in (0,10]) except tiny Km, which the clip handles.
+    z = jnp.exp(jnp.clip(logz, -60.0, 60.0))
+    return Km * lambertw(z)
+
+
+@dataclasses.dataclass(frozen=True)
+class MichaelisMentenModel:
+    """Batched MM log-likelihood over 6 (or n) datasets.
+
+    obs: (n_ds, T) observed product concentrations P_obs.
+    s0:  (n_ds,) initial substrate concentrations.
+    ts:  (T,) shared observation grid.
+    """
+
+    obs: jnp.ndarray
+    s0: jnp.ndarray
+    ts: jnp.ndarray
+    prior: Prior
+    method: str = "rk4"
+    substeps: int = 4
+
+    param_names: Tuple[str, ...] = ("Vmax", "Km", "sigma")
+
+    @staticmethod
+    def default(obs=None, s0=None, ts=None, method="rk4", substeps=4,
+                key=None) -> "MichaelisMentenModel":
+        """Model with the reference's default priors/datasets.
+
+        If obs is None, regenerates the 6 pseudo-datasets on device
+        (equivalent of loading data/mm_pseudo_data_{0..5}.csv).
+        """
+        if obs is None:
+            ts_np, obs_np, s0_np = generate_mm_pseudo_data(key=key)
+            ts, obs, s0 = jnp.asarray(ts_np), jnp.asarray(obs_np), jnp.asarray(s0_np)
+        prior = Prior.uniform([0.0, 0.0, 0.0], [10.0, 10.0, 10.0])
+        return MichaelisMentenModel(obs=obs, s0=s0, ts=ts, prior=prior,
+                                    method=method, substeps=substeps)
+
+    def _loglik_one(self, theta: jnp.ndarray):
+        Vmax, Km, sigma = theta[0], theta[1], theta[2]
+        if self.method == "exact":
+            S = _simulate_exact(Vmax, Km, self.s0, self.ts)  # (T, n_ds)
+        else:
+            S = _simulate_rk4(Vmax, Km, self.s0, self.ts, self.substeps)
+        P_model = (self.s0[None, :] - S).T  # (n_ds, T)
+        resid = self.obs - P_model
+        n = self.obs.shape[1]
+        sigma_safe = jnp.maximum(sigma, 1e-12)
+        ll = (-0.5 * n * (_LOG2PI + 2.0 * jnp.log(sigma_safe))
+              - jnp.sum(resid * resid, axis=1) / (2.0 * sigma_safe ** 2))
+        total = jnp.sum(ll)
+        # sigma <= 0 -> -inf (Micmem_likelihood.py:53-54); also mask non-finite
+        # trajectories (replaces solver-failure sentinels).
+        bad = (sigma <= 0.0) | ~jnp.isfinite(total)
+        return jnp.where(bad, -jnp.inf, total), P_model
+
+    def log_likelihood(self, theta: jnp.ndarray):
+        """theta (N, 3) -> (log_lik (N,), P_model (N, n_ds, T))."""
+        return jax.vmap(self._loglik_one)(theta)
+
+
+def generate_mm_pseudo_data(Vmax_true: float = MM_TRUE_VMAX,
+                            Km_true: float = MM_TRUE_KM,
+                            noise_std: float = MM_TRUE_NOISE,
+                            s0_list=MM_S0_LIST,
+                            t_span=(0.0, 10.0),
+                            num_points: int = 40,
+                            key=None,
+                            seed: int = 20250205):
+    """Regenerate the reference's pseudo-datasets (Micmen_generate_data.py:31-66).
+
+    The reference writes 5 CSVs with per-file NumPy seeds 20250206..20250210
+    and then *loads 6* (files 0..5, where file 0 is a stale duplicate of the
+    S0=2.0 run with a different noise draw). We reproduce that structure: the
+    true trajectories are identical for the duplicated S0; noise draws are
+    counter-based per dataset.
+
+    Returns (ts (T,), obs (n_ds, T), s0 (n_ds,)) as NumPy arrays.
+    """
+    ts = np.linspace(t_span[0], t_span[1], num_points)
+    s0 = np.asarray(s0_list, np.float64)
+    # True trajectories via the closed form (exact; replaces scipy RK45).
+    Km = Km_true
+    logz = np.log(s0 / Km)[None, :] + (s0[None, :] - Vmax_true * ts[:, None]) / Km
+    z = np.exp(np.clip(logz, -60, 60))
+    S_true = Km * np.asarray(lambertw(jnp.asarray(z)))
+    P_true = (s0[None, :] - S_true).T  # (n_ds, T)
+    if key is None:
+        key = jax.random.key(seed)
+    noise = jax.random.normal(key, P_true.shape) * noise_std
+    obs = P_true + np.asarray(noise)
+    return ts.astype(np.float32), obs.astype(np.float32), s0.astype(np.float32)

@@ -1,0 +1,137 @@
+"""SMC driver: init + one fused step + host/device run loops.
+
+The reference inlines this loop three near-identical times
+(Micmem_SMC_main.py:105-271, SMC_methanation_main.py:201-427,
+SMC_methanation.py:670-913). Here it exists once:
+
+- ``make_smc_step`` builds ONE jitted function performing
+  gamma-search -> resampling -> MH-mutation. All adaptive control flow
+  (gamma shrink loop, MH early stop, step-ratio halving) runs on device as
+  lax.while_loop — no host round-trips inside a step.
+- ``run_smc`` is the observable host loop (per-step metric line, callbacks
+  for plots/checkpoints — the reference's console line at
+  SMC_methanation_main.py:410).
+- ``run_smc_on_device`` fuses the entire run (all tempering steps) into a
+  single XLA program for maximum throughput: one device dispatch per run.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from smc_tpu.config import SMCConfig
+from smc_tpu.priors import Prior
+from smc_tpu.smc.kernels import find_gamma, mh_mutation, residual_systematic_resample
+from smc_tpu.smc.state import SMCState
+
+logger = logging.getLogger("smc_tpu")
+
+LogLikFn = Callable[[jnp.ndarray], Tuple[jnp.ndarray, object]]
+
+
+def init_state(key: jax.Array, model, cfg: SMCConfig,
+               particles: Optional[jnp.ndarray] = None) -> SMCState:
+    """Sample the prior and evaluate the initial likelihood sweep
+    (reference: prior sampling Micmem_settings.py:84-87 + initial
+    ``sim_particle`` at Micmem_SMC_main.py:98)."""
+    key, k_init = jax.random.split(key)
+    if particles is None:
+        particles = model.prior.sample(k_init, cfg.n_particles, dtype=cfg.dtype)
+    log_lik, _ = model.log_likelihood(particles)
+    zf = jnp.zeros((), cfg.dtype)
+    zi = jnp.zeros((), jnp.int32)
+    return SMCState(
+        particles=particles, log_lik=log_lik,
+        gamma=jnp.zeros((), cfg.dtype), key=key, step=zi,
+        ess=jnp.ones((), cfg.dtype), max_log_lik=jnp.max(log_lik),
+        n_mh=zi, accepted=zi, n_gamma_reductions=zi,
+        mh_ratio=jnp.ones((), cfg.dtype) * 0 + 1.0,
+    )
+
+
+def smc_step(state: SMCState, loglik_fn: LogLikFn, prior: Prior,
+             cfg: SMCConfig) -> SMCState:
+    """One likelihood-tempered SMC step (Algorithm 1 body)."""
+    key, k_res, k_mh = jax.random.split(state.key, 3)
+
+    g = find_gamma(state.log_lik, state.gamma, cfg)
+    ancestors = residual_systematic_resample(k_res, g.weights)
+    parts = jnp.take(state.particles, ancestors, axis=0)
+    lk = jnp.take(state.log_lik, ancestors, axis=0)
+
+    m = mh_mutation(k_mh, parts, lk, g.gamma, loglik_fn, prior, cfg)
+
+    return state.replace(
+        particles=m.particles, log_lik=m.log_lik, gamma=g.gamma, key=key,
+        step=state.step + 1, ess=g.ess, max_log_lik=g.max_log_lik,
+        n_mh=m.n_steps, accepted=m.accepted.astype(jnp.int32),
+        n_gamma_reductions=g.n_reductions, mh_ratio=m.mh_ratio,
+    )
+
+
+def make_smc_step(model, cfg: SMCConfig, donate: bool = True):
+    """Jitted SMCState -> SMCState step closure over the model."""
+    def _step(state: SMCState) -> SMCState:
+        return smc_step(state, model.log_likelihood, model.prior, cfg)
+    return jax.jit(_step, donate_argnums=(0,) if donate else ())
+
+
+def run_smc(model, cfg: SMCConfig, key: jax.Array,
+            callback: Optional[Callable[[SMCState], None]] = None,
+            state: Optional[SMCState] = None,
+            verbose: bool = True) -> SMCState:
+    """Host-observable SMC run: jitted steps, per-step metric line.
+
+    ``state`` may be a checkpointed state to resume from.
+    """
+    if state is None:
+        state = init_state(key, model, cfg)
+    step_fn = make_smc_step(model, cfg, donate=False)
+    t0 = time.perf_counter()
+    while int(state.step) < cfg.max_steps and float(state.gamma) < 1.0:
+        state = step_fn(state)
+        if verbose:
+            # Field-parity with the reference metric line (C26,
+            # SMC_methanation_main.py:410).
+            msg = (f"iteration:{int(state.step)}, nMH:{int(state.n_mh)}, "
+                   f"Calculation time:{time.perf_counter() - t0:.3f}, "
+                   f"ESS:{float(state.ess):.4f}, "
+                   f"Max Likelihood:{float(state.max_log_lik):.4f}, "
+                   f"New Gamma:{float(state.gamma):.6f}, "
+                   f"Number of Adoption:{int(state.accepted)}")
+            (logger.info if logger.handlers else print)(msg)
+        if callback is not None:
+            callback(state)
+    if float(state.gamma) < 1.0:
+        msg = f"tempering didn't complete: last gamma = {float(state.gamma)}"
+        (logger.warning if logger.handlers else print)(msg)
+    return state
+
+
+def run_smc_on_device(model, cfg: SMCConfig, key: jax.Array,
+                      state: Optional[SMCState] = None) -> SMCState:
+    """Entire SMC run as ONE jitted program (outer loop in lax.while_loop).
+
+    Loop-exit parity with the reference: the step that raises gamma to 1
+    still executes its (final-threshold) mutation, then the loop stops
+    (Micmem_SMC_main.py:259-261).
+    """
+    if state is None:
+        state = init_state(key, model, cfg)
+
+    def cond(s: SMCState):
+        return (s.step < cfg.max_steps) & (s.gamma < 1.0)
+
+    def body(s: SMCState):
+        return smc_step(s, model.log_likelihood, model.prior, cfg)
+
+    @jax.jit
+    def _run(s):
+        return lax.while_loop(cond, body, s)
+
+    return _run(state)

@@ -1,0 +1,244 @@
+"""Core SMC kernels: adaptive tempering, resampling, RW-MH mutation.
+
+Every kernel here is a pure jittable function with static shapes, designed to
+run on a particle axis that may be sharded over a device mesh: all reductions
+(max, sum, covariance) are expressed as jnp ops that XLA lowers to psum/pmax
+collectives under pjit, and the resampling index build is a cumsum +
+searchsorted (parallel prefix-sum + binary gather) instead of the reference's
+sequential O(N) Python scan.
+
+Reference behavior (rebuilt, not ported):
+- adaptive gamma search: Micmem_SMC_main.py:109-144 /
+  SMC_methanation_main.py:205-240 (Algorithm 1 of SMC_Algorithm/algorithm1.png)
+- residual-systematic resampling: Micmem_SMC_main.py:146-184
+  (Algorithm 2 of SMC_Algorithm/algorithm2.png)
+- adaptive random-walk Metropolis mutation: Micmem_SMC_main.py:186-251 /
+  SMC_methanation_main.py:282-408
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from smc_tpu.config import SMCConfig
+from smc_tpu.priors import Prior
+
+
+# --------------------------------------------------------------------------
+# Adaptive tempering (gamma search)
+# --------------------------------------------------------------------------
+class GammaResult(NamedTuple):
+    gamma: jnp.ndarray        # () new tempering exponent
+    weights: jnp.ndarray      # (N,) normalized incremental importance weights
+    ess: jnp.ndarray          # () normalized ESS = 1/(N * sum w^2)
+    n_reductions: jnp.ndarray  # () int32 shrink iterations used
+    max_log_lik: jnp.ndarray  # ()
+
+
+def find_gamma(log_lik: jnp.ndarray, gamma_old: jnp.ndarray,
+               cfg: SMCConfig) -> GammaResult:
+    """ESS-controlled tempering-exponent search.
+
+    Proposes gamma_old + d_gamma_max (clipped to 1), computes normalized
+    weights w_i proportional to exp((ll_i - max ll) * (gamma_new - gamma_old))
+    and normalized ESS; while ESS <= ess_limit, shrinks the increment by
+    gamma_reduction_rate, up to gamma_reduction_iters times
+    (Micmem_SMC_main.py:109-144).
+
+    Deviation from the reference: if all shrink iterations are exhausted, the
+    returned weights are consistent with the returned gamma (the reference's
+    last loop iteration leaves p_weight one shrink staler than gamma_new — a
+    latent off-by-one that only triggers when 80 reductions are insufficient,
+    i.e. never at the default 0.7^80 ~ 4e-13 increment).
+    """
+    n = log_lik.shape[0]
+    max_ll = jnp.max(log_lik)
+    d_ll = log_lik - max_ll  # <= 0; exp() never overflows
+
+    gamma0 = jnp.minimum(gamma_old + cfg.d_gamma_max, 1.0)
+
+    def weights_ess(gamma_new):
+        w = jnp.exp(d_ll * (gamma_new - gamma_old))
+        w = w / jnp.sum(w)
+        ess = 1.0 / (jnp.sum(w * w) * n)
+        return w, ess
+
+    w0, ess0 = weights_ess(gamma0)
+
+    def cond(c):
+        i, gamma, w, ess = c
+        return (i < cfg.gamma_reduction_iters) & (ess <= cfg.ess_limit)
+
+    def body(c):
+        i, gamma, w, ess = c
+        gamma = (gamma - gamma_old) * cfg.gamma_reduction_rate + gamma_old
+        w, ess = weights_ess(gamma)
+        return i + 1, gamma, w, ess
+
+    i, gamma, w, ess = lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), gamma0, w0, ess0))
+    return GammaResult(gamma, w, ess, i, max_ll)
+
+
+# --------------------------------------------------------------------------
+# Residual-systematic resampling
+# --------------------------------------------------------------------------
+def residual_systematic_counts(key: jax.Array, weights: jnp.ndarray,
+                               ) -> jnp.ndarray:
+    """Per-particle offspring counts of residual-systematic resampling.
+
+    Vectorization of Algorithm 2 (SMC_Algorithm/algorithm2.png; sequential
+    form at Micmem_SMC_main.py:146-184): deterministic copies
+    floor(N*w_i); the residual mass is resampled systematically with a single
+    shared uniform draw. The sequential residual sweep
+
+        for j: sum += r_j; if sum >= wrand: count_j += 1; wrand += 1/N
+
+    is equivalent (scaled by N) to counting the grid points {v0 + k, k>=0},
+    v0 ~ U(0,1), that fall into each interval of the residual-cumsum — an
+    inclusive prefix sum followed by two floors. Fully parallel; cross-shard
+    it is a single prefix-sum collective on an (N,) vector.
+
+    Returns integer counts (N,) summing exactly to N.
+    """
+    n = weights.shape[0]
+    scaled = weights * n
+    det = jnp.floor(scaled)
+    resid = scaled - det          # in [0, 1) per particle
+    v0 = jax.random.uniform(key, ())  # == N * wrand, wrand ~ U[0, 1/N)
+    csum = jnp.cumsum(resid)
+    grid_below = jnp.maximum(jnp.floor(csum - v0) + 1.0, 0.0)
+    extra = jnp.diff(grid_below, prepend=0.0)
+    counts = (det + extra).astype(jnp.int32)
+    # fp32 cumsum over large N can drop/add one count at the tail; repair on
+    # the max-weight particle so the total is exactly N (branchless).
+    diff = n - jnp.sum(counts)
+    fix = jnp.argmax(weights)
+    counts = counts.at[fix].add(diff)
+    return jnp.maximum(counts, 0)
+
+
+def counts_to_ancestors(counts: jnp.ndarray) -> jnp.ndarray:
+    """Offspring counts (N,) -> ancestor index per output slot (N,).
+
+    Slot layout matches the reference's in-order copy loop
+    (Micmem_SMC_main.py:178-184): all copies of particle j are contiguous,
+    ordered by j. Built as inclusive-cumsum + searchsorted (binary gather).
+    """
+    n = counts.shape[0]
+    ends = jnp.cumsum(counts)
+    slots = jnp.arange(n, dtype=counts.dtype)
+    return jnp.searchsorted(ends, slots, side="right").astype(jnp.int32)
+
+
+def residual_systematic_resample(key: jax.Array, weights: jnp.ndarray
+                                 ) -> jnp.ndarray:
+    """Ancestor indices (N,) for residual-systematic resampling."""
+    counts = residual_systematic_counts(key, weights)
+    return counts_to_ancestors(counts)
+
+
+# --------------------------------------------------------------------------
+# Adaptive random-walk Metropolis mutation
+# --------------------------------------------------------------------------
+class MutationResult(NamedTuple):
+    particles: jnp.ndarray
+    log_lik: jnp.ndarray
+    n_steps: jnp.ndarray    # () int32 sweeps executed
+    accepted: jnp.ndarray   # () number of particles that accepted >= once
+    mh_ratio: jnp.ndarray   # () final proposal step ratio
+
+
+def _weighted_cov(x: jnp.ndarray, cov_weight: jnp.ndarray,
+                  eps: float = 1e-10) -> jnp.ndarray:
+    """Biased empirical covariance (np.cov(bias=True)) times the elementwise
+    cov_weight matrix, plus a relative jitter for Cholesky stability.
+
+    The (N,d)x(d,N) contraction is MXU work and reduces over the (sharded)
+    particle axis — XLA inserts the psum.
+    """
+    n = x.shape[0]
+    mu = jnp.mean(x, axis=0)
+    xc = x - mu
+    cov = (xc.T @ xc) / n
+    cov = cov * cov_weight
+    d = cov.shape[0]
+    jitter = eps * (1.0 + jnp.trace(cov) / d)
+    return cov + jitter * jnp.eye(d, dtype=cov.dtype)
+
+
+def mh_mutation(key: jax.Array,
+                particles: jnp.ndarray,
+                log_lik: jnp.ndarray,
+                gamma: jnp.ndarray,
+                loglik_fn: Callable[[jnp.ndarray], Tuple[jnp.ndarray, object]],
+                prior: Prior,
+                cfg: SMCConfig) -> MutationResult:
+    """Adaptive random-walk Metropolis mutation sweep loop.
+
+    Per sweep (Micmem_SMC_main.py:209-249):
+    - proposal covariance = empirical particle covariance (bias=True), scaled
+      elementwise by cfg.cov_weight (w_cov), recomputed EVERY sweep;
+    - proposal = particles + MVN(0, cov) * mh_ratio (via Cholesky);
+    - out-of-support proposals are replaced by the current particle before
+      likelihood evaluation (support clip, ``p0`` mask);
+    - accept iff exp((lk2-lk1)*gamma) * prior_ratio >= U(0,1), done in log
+      space here (identical decision, overflow-free);
+    - r_ac tracks "accepted at least once"; early-stop when
+      sum(r_ac) > r_th*N; halve mh_ratio when sum(r_ac) < r_min*N.
+
+    The number of sweeps and the early-stop threshold switch at gamma == 1
+    (nMH 5 -> 20, r_th 0.5 -> 0.7); both are traced values so the whole loop
+    is one lax.while_loop with a data-dependent bound.
+    """
+    n, d = particles.shape
+    final = gamma >= 1.0
+    n_mh = jnp.where(final, cfg.mh_steps_final, cfg.mh_steps).astype(jnp.int32)
+    r_th = jnp.where(final, cfg.accept_threshold_final, cfg.accept_threshold)
+    cov_weight = cfg.cov_weight(d).astype(particles.dtype)
+    log_prior_cur0 = prior.log_pdf(particles)
+
+    def cond(c):
+        j, key, parts, lk1, lp1, r_ac, ratio, done = c
+        return (j < n_mh) & ~done
+
+    def body(c):
+        j, key, parts, lk1, lp1, r_ac, ratio, done = c
+        key, k_z, k_u = jax.random.split(key, 3)
+
+        cov = _weighted_cov(parts, cov_weight)
+        chol = jnp.linalg.cholesky(cov)
+        z = jax.random.normal(k_z, (n, d), dtype=parts.dtype)
+        prop = parts + (z @ chol.T) * ratio
+
+        in_sup = prior.in_support(prop)
+        # Evaluate the clipped proposal (reference evaluates the replaced
+        # particle too; likelihood is cached so the replaced rows are a no-op
+        # numerically but keep shapes static).
+        prop_eval = jnp.where(in_sup[:, None], prop, parts)
+        lk2, _ = loglik_fn(prop_eval)
+        lp2 = prior.log_pdf(prop_eval)
+
+        log_u = jnp.log(jax.random.uniform(k_u, (n,), dtype=parts.dtype))
+        log_acc = (lk2 - lk1) * gamma + (lp2 - lp1)
+        accept = in_sup & (log_acc >= log_u) & jnp.isfinite(lk2)
+
+        parts = jnp.where(accept[:, None], prop_eval, parts)
+        lk1 = jnp.where(accept, lk2, lk1)
+        lp1 = jnp.where(accept, lp2, lp1)
+        r_ac = r_ac | accept
+
+        acc_sum = jnp.sum(r_ac)
+        done = acc_sum > r_th * n
+        ratio = jnp.where(~done & (acc_sum < cfg.accept_threshold_min * n),
+                          ratio * cfg.mh_ratio_decay, ratio)
+        return j + 1, key, parts, lk1, lp1, r_ac, ratio, done
+
+    init = (jnp.zeros((), jnp.int32), key, particles, log_lik, log_prior_cur0,
+            jnp.zeros((n,), bool), jnp.ones((), particles.dtype),
+            jnp.zeros((), bool))
+    j, _, parts, lk1, _, r_ac, ratio, _ = lax.while_loop(cond, body, init)
+    return MutationResult(parts, lk1, j, jnp.sum(r_ac), ratio)

@@ -1,0 +1,174 @@
+"""Unit tests for the SMC kernels against NumPy oracles that re-implement the
+reference's sequential algorithms (Micmem_SMC_main.py:109-251)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smc_tpu import SMCConfig, Prior
+from smc_tpu.smc.kernels import (
+    find_gamma,
+    residual_systematic_counts,
+    counts_to_ancestors,
+    mh_mutation,
+)
+
+
+# ---------------------------------------------------------------------------
+# Oracles: direct sequential re-implementations of the published algorithms.
+# ---------------------------------------------------------------------------
+def oracle_gamma(log_lik, gamma_old, ess_limit=0.5, d_gamma_max=1.0,
+                 rate=0.7, iters=80):
+    n = len(log_lik)
+    gamma_new = min(gamma_old + d_gamma_max, 1.0)
+    max_lk = np.max(log_lik)
+    d_lk = log_lik - max_lk
+    for i in range(iters):
+        gm = gamma_new - gamma_old
+        w = np.exp(d_lk * gm)
+        w = w / np.sum(w)
+        ess = 1.0 / (np.sum(w ** 2) * n)
+        if ess > ess_limit:
+            break
+        gamma_new = (gamma_new - gamma_old) * rate + gamma_old
+    return gamma_new, w, ess
+
+
+def oracle_residual_systematic(weights, wrand_unit):
+    """Sequential Algorithm 2 with wrand = wrand_unit / N, wrand_unit in [0,1)."""
+    n = len(weights)
+    inv_np = 1.0 / n
+    p_is = np.trunc(weights * n).astype(int)
+    resid = weights - p_is * inv_np
+    wrand = wrand_unit * inv_np
+    s = 0.0
+    for j in range(n):
+        s += resid[j]
+        if s >= wrand:
+            p_is[j] += 1
+            wrand += inv_np
+    return p_is
+
+
+def test_gamma_search_matches_oracle():
+    rng = np.random.default_rng(0)
+    log_lik = rng.normal(-50, 30, size=512)
+    cfg = SMCConfig(n_particles=512)
+    for gamma_old in [0.0, 0.13, 0.9]:
+        g = find_gamma(jnp.asarray(log_lik, jnp.float32),
+                       jnp.float32(gamma_old), cfg)
+        g_ref, w_ref, ess_ref = oracle_gamma(log_lik, gamma_old)
+        assert np.isclose(float(g.gamma), g_ref, rtol=1e-5)
+        assert np.isclose(float(g.ess), ess_ref, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(g.weights), w_ref, rtol=2e-3,
+                                   atol=1e-8)
+
+
+def test_gamma_full_step_when_flat():
+    """Equal likelihoods -> ESS = 1 -> gamma jumps straight to 1."""
+    cfg = SMCConfig(n_particles=64)
+    g = find_gamma(jnp.zeros(64), jnp.float32(0.0), cfg)
+    assert float(g.gamma) == 1.0
+    assert int(g.n_reductions) == 0
+    assert np.isclose(float(g.ess), 1.0)
+
+
+def test_residual_systematic_counts_match_oracle():
+    rng = np.random.default_rng(1)
+    for n in [16, 100, 1000]:
+        w = rng.dirichlet(np.ones(n) * 0.3)
+        # Run the JAX kernel, recover its uniform draw by re-deriving counts
+        # for a swept grid of wrand values through the oracle.
+        key = jax.random.key(42)
+        counts = np.asarray(residual_systematic_counts(
+            key, jnp.asarray(w, jnp.float32)))
+        v0 = float(jax.random.uniform(key, ()))
+        expected = oracle_residual_systematic(w.astype(np.float32), v0)
+        assert counts.sum() == n
+        # fp32 cumsum boundary cases can shift one count between adjacent
+        # particles; compare with a tolerance of 1 on at most 2 slots.
+        diff = np.abs(counts - expected)
+        assert diff.max() <= 1
+        assert (diff > 0).sum() <= 4
+        # Unbiasedness-ish: every count within 1 of N*w rounding bounds.
+        assert np.all(counts >= np.floor(n * w) - 1)
+        assert np.all(counts <= np.floor(n * w) + 2)
+
+
+def test_counts_to_ancestors_layout():
+    counts = jnp.asarray([0, 3, 1, 0, 2, 0], jnp.int32)
+    anc = np.asarray(counts_to_ancestors(counts))
+    np.testing.assert_array_equal(anc, [1, 1, 1, 2, 4, 4])
+
+
+def test_resampling_is_unbiased():
+    """E[counts_i] == N * w_i over many independent draws."""
+    rng = np.random.default_rng(3)
+    n = 64
+    w = rng.dirichlet(np.ones(n))
+    w32 = jnp.asarray(w, jnp.float32)
+    keys = jax.random.split(jax.random.key(0), 512)
+    counts = jax.vmap(lambda k: residual_systematic_counts(k, w32))(keys)
+    mean_counts = np.asarray(counts).mean(axis=0)
+    np.testing.assert_allclose(mean_counts, n * w, atol=0.12)
+
+
+def test_mh_mutation_preserves_gaussian_target():
+    """Detailed balance smoke test: mutate samples already distributed as the
+    (tempered) target and check the first two moments are preserved."""
+    d = 2
+    n = 4096
+    prior = Prior.normal(jnp.zeros(d), jnp.ones(d) * 10.0)
+
+    def loglik(theta):
+        # Likelihood N(0, 1) per dim -> posterior at gamma=1 is
+        # N(0, (1 + 1/100)^-1) ~= N(0, 1) since prior is wide.
+        return -0.5 * jnp.sum(theta ** 2, axis=-1), None
+
+    cfg = SMCConfig(n_particles=n, mh_steps_final=10,
+                    accept_threshold_final=2.0)  # no early stop
+    key = jax.random.key(7)
+    k1, k2 = jax.random.split(key)
+    post_std = float(1.0 / np.sqrt(1.0 + 1.0 / 100.0))
+    x0 = jax.random.normal(k1, (n, d)) * post_std
+    lk0, _ = loglik(x0)
+    res = mh_mutation(k2, x0, lk0, jnp.float32(1.0), loglik, prior, cfg)
+    x1 = np.asarray(res.particles)
+    assert int(res.n_steps) == 10
+    assert np.abs(x1.mean(axis=0)).max() < 0.08
+    np.testing.assert_allclose(x1.std(axis=0), post_std, rtol=0.06)
+
+
+def test_mh_mutation_respects_support():
+    """Proposals outside a uniform prior's support must never be accepted."""
+    n, d = 512, 2
+    prior = Prior.uniform(jnp.zeros(d), jnp.ones(d))
+
+    def loglik(theta):
+        return jnp.zeros(theta.shape[0]), None
+
+    cfg = SMCConfig(n_particles=n, mh_steps=5, accept_threshold=2.0)
+    key = jax.random.key(11)
+    x0 = prior.sample(key, n)
+    lk0, _ = loglik(x0)
+    res = mh_mutation(jax.random.key(12), x0, lk0, jnp.float32(0.5),
+                      loglik, prior, cfg)
+    x1 = np.asarray(res.particles)
+    assert (x1 >= 0).all() and (x1 <= 1).all()
+
+
+def test_mh_early_stop():
+    """With everything accepted immediately, the loop must stop after sweep 1."""
+    n, d = 256, 2
+    prior = Prior.normal(jnp.zeros(d), jnp.ones(d) * 100.0)
+
+    def loglik(theta):
+        return jnp.zeros(theta.shape[0]), None  # flat likelihood: accept all
+
+    cfg = SMCConfig(n_particles=n, mh_steps=5, accept_threshold=0.5)
+    x0 = prior.sample(jax.random.key(0), n) * 0.01
+    lk0, _ = loglik(x0)
+    res = mh_mutation(jax.random.key(1), x0, lk0, jnp.float32(0.5),
+                      loglik, prior, cfg)
+    assert int(res.n_steps) == 1
+    assert int(res.accepted) > 0.9 * n
