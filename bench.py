@@ -1,0 +1,87 @@
+"""Headline benchmark: particle-weight-updates/sec/chip at 10^5 particles.
+
+Workload (from BASELINE.json): the Michaelis-Menten likelihood-tempered SMC
+at N=100,000 particles x 6 datasets x 40 observation points, RK4 likelihood
+(comparable numerical work to the reference's scipy RK45 path,
+SMC_example/Micmem_likelihood.py:24-30). One "particle weight update" = one
+per-particle likelihood evaluation feeding a weight/acceptance update — the
+same unit of work the reference dispatches as one Ray task
+(Micmem_likelihood.py:83).
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
+baseline is measured here: the per-update cost of an equivalent
+NumPy/SciPy solve_ivp likelihood on one host core, scaled by the
+reference's default 30-core Ray pool (methanation_set_conditon.py:107) —
+i.e. vs_baseline = TPU updates/sec / (30 x single-core CPU updates/sec).
+"""
+import json
+import time
+
+import numpy as np
+
+
+def _cpu_baseline_updates_per_sec(n_probe: int = 30) -> float:
+    """Single-core scipy RK45 likelihood throughput (reference-equivalent)."""
+    from scipy.integrate import solve_ivp
+
+    ts = np.linspace(0, 10, 40)
+    s0s = [2.0, 0.1, 0.25, 0.5, 1.0, 2.0]
+    rng = np.random.default_rng(0)
+    thetas = np.column_stack([rng.uniform(0.5, 3, n_probe),
+                              rng.uniform(0.1, 2, n_probe),
+                              rng.uniform(0.01, 1, n_probe)])
+    obs = rng.normal(0.5, 0.1, (6, 40))
+    t0 = time.perf_counter()
+    for Vmax, Km, sigma in thetas:
+        total = 0.0
+        for i, s0 in enumerate(s0s):
+            sol = solve_ivp(lambda t, S: -Vmax * S / (Km + S), (0, 10), [s0],
+                            t_eval=ts, method="RK45")
+            r = obs[i] - (s0 - sol.y[0])
+            total += -0.5 * 40 * np.log(2 * np.pi * sigma ** 2) \
+                - np.sum(r ** 2) / (2 * sigma ** 2)
+    dt = time.perf_counter() - t0
+    return n_probe / dt
+
+
+def main():
+    import jax
+    from smc_tpu import SMCConfig, init_state, make_smc_step
+    from smc_tpu.models.michaelis_menten import MichaelisMentenModel
+
+    n = 100_000
+    model = MichaelisMentenModel.default(method="rk4")
+    cfg = SMCConfig(n_particles=n)
+    state = init_state(jax.random.key(0), model, cfg)
+    step_fn = make_smc_step(model, cfg, donate=False)
+
+    # Warm up / compile.
+    s = step_fn(state)
+    jax.block_until_ready(s.particles)
+
+    # Timed: run jitted SMC steps from the initial state; count likelihood
+    # sweeps actually executed via the state's eval counter.
+    t0 = time.perf_counter()
+    s = state
+    reps = 0
+    while time.perf_counter() - t0 < 10.0 and float(s.gamma) < 1.0:
+        s = step_fn(s)
+        jax.block_until_ready(s.particles)
+        reps += 1
+    dt = time.perf_counter() - t0
+    updates = float(s.total_lik_evals) - float(state.total_lik_evals)
+    ups = updates / dt
+
+    cpu_1core = _cpu_baseline_updates_per_sec()
+    baseline_30core = 30.0 * cpu_1core
+
+    print(json.dumps({
+        "metric": "particle-weight-updates/sec/chip @ 1e5 particles (MM rk4)",
+        "value": round(ups, 1),
+        "unit": "updates/s",
+        "vs_baseline": round(ups / baseline_30core, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

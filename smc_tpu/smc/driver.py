@@ -50,48 +50,62 @@ def init_state(key: jax.Array, model, cfg: SMCConfig,
         gamma=jnp.zeros((), cfg.dtype), key=key, step=zi,
         ess=jnp.ones((), cfg.dtype), max_log_lik=jnp.max(log_lik),
         n_mh=zi, accepted=zi, n_gamma_reductions=zi,
-        mh_ratio=jnp.ones((), cfg.dtype) * 0 + 1.0,
+        mh_ratio=jnp.ones((), cfg.dtype),
+        total_lik_evals=jnp.asarray(float(cfg.n_particles), jnp.float32),
     )
 
 
 def smc_step(state: SMCState, loglik_fn: LogLikFn, prior: Prior,
-             cfg: SMCConfig) -> SMCState:
-    """One likelihood-tempered SMC step (Algorithm 1 body)."""
+             cfg: SMCConfig, psharding=None) -> SMCState:
+    """One likelihood-tempered SMC step (Algorithm 1 body).
+
+    ``psharding``: optional NamedSharding for particle-axis arrays. XLA's
+    propagation tends to replicate the post-resampling gather output; pinning
+    it keeps per-device memory at N/n_shards (required for 10^6+ particles).
+    """
     key, k_res, k_mh = jax.random.split(state.key, 3)
+
+    def pin(x):
+        if psharding is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, psharding)
 
     g = find_gamma(state.log_lik, state.gamma, cfg)
     ancestors = residual_systematic_resample(k_res, g.weights)
-    parts = jnp.take(state.particles, ancestors, axis=0)
-    lk = jnp.take(state.log_lik, ancestors, axis=0)
+    parts = pin(jnp.take(state.particles, ancestors, axis=0))
+    lk = pin(jnp.take(state.log_lik, ancestors, axis=0))
 
     m = mh_mutation(k_mh, parts, lk, g.gamma, loglik_fn, prior, cfg)
 
     return state.replace(
-        particles=m.particles, log_lik=m.log_lik, gamma=g.gamma, key=key,
-        step=state.step + 1, ess=g.ess, max_log_lik=g.max_log_lik,
+        particles=pin(m.particles), log_lik=pin(m.log_lik), gamma=g.gamma,
+        key=key, step=state.step + 1, ess=g.ess, max_log_lik=g.max_log_lik,
         n_mh=m.n_steps, accepted=m.accepted.astype(jnp.int32),
         n_gamma_reductions=g.n_reductions, mh_ratio=m.mh_ratio,
+        total_lik_evals=state.total_lik_evals
+        + m.n_steps.astype(jnp.float32) * state.particles.shape[0],
     )
 
 
-def make_smc_step(model, cfg: SMCConfig, donate: bool = True):
+def make_smc_step(model, cfg: SMCConfig, donate: bool = True, psharding=None):
     """Jitted SMCState -> SMCState step closure over the model."""
     def _step(state: SMCState) -> SMCState:
-        return smc_step(state, model.log_likelihood, model.prior, cfg)
+        return smc_step(state, model.log_likelihood, model.prior, cfg,
+                        psharding=psharding)
     return jax.jit(_step, donate_argnums=(0,) if donate else ())
 
 
 def run_smc(model, cfg: SMCConfig, key: jax.Array,
             callback: Optional[Callable[[SMCState], None]] = None,
             state: Optional[SMCState] = None,
-            verbose: bool = True) -> SMCState:
+            verbose: bool = True, psharding=None) -> SMCState:
     """Host-observable SMC run: jitted steps, per-step metric line.
 
     ``state`` may be a checkpointed state to resume from.
     """
     if state is None:
         state = init_state(key, model, cfg)
-    step_fn = make_smc_step(model, cfg, donate=False)
+    step_fn = make_smc_step(model, cfg, donate=False, psharding=psharding)
     t0 = time.perf_counter()
     while int(state.step) < cfg.max_steps and float(state.gamma) < 1.0:
         state = step_fn(state)
@@ -114,7 +128,8 @@ def run_smc(model, cfg: SMCConfig, key: jax.Array,
 
 
 def run_smc_on_device(model, cfg: SMCConfig, key: jax.Array,
-                      state: Optional[SMCState] = None) -> SMCState:
+                      state: Optional[SMCState] = None,
+                      psharding=None) -> SMCState:
     """Entire SMC run as ONE jitted program (outer loop in lax.while_loop).
 
     Loop-exit parity with the reference: the step that raises gamma to 1
@@ -128,7 +143,8 @@ def run_smc_on_device(model, cfg: SMCConfig, key: jax.Array,
         return (s.step < cfg.max_steps) & (s.gamma < 1.0)
 
     def body(s: SMCState):
-        return smc_step(s, model.log_likelihood, model.prior, cfg)
+        return smc_step(s, model.log_likelihood, model.prior, cfg,
+                        psharding=psharding)
 
     @jax.jit
     def _run(s):

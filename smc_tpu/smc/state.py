@@ -30,6 +30,8 @@ class SMCState:
     accepted: jnp.ndarray         # () number of particles that accepted >= once
     n_gamma_reductions: jnp.ndarray  # () int32 gamma shrink iterations used
     mh_ratio: jnp.ndarray         # () final proposal step ratio last step
+    total_lik_evals: jnp.ndarray  # () int64-ish f32 count of per-particle
+    # likelihood evaluations so far (N per sweep; the bench denominator)
 
     @property
     def n_particles(self) -> int:
