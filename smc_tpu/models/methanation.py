@@ -1,0 +1,495 @@
+"""Methanation tubular-reactor model (the reference's flagship application).
+
+Physics being rebuilt (reference files, NOT ported — the implementation here
+is vectorized stencils + an on-device implicit integrator):
+
+- LHHW kinetic rate law ``func_rCH4`` (methanation_set_likelihood.py:44-58):
+  CO2 + 4 H2 <-> CH4 + 2 H2O over 8 Arrhenius parameters
+  (Af, Eaf, Ar, Ear, BCO2, dHCO2, BH2O, dHH2O).
+- Ideal-gas mixture density ``func_rohg`` (:61-66).
+- Method-of-lines DAE ``reaction`` (:69-139): 7 fields x NX=51 grid points
+  (5 species concentrations, temperature T, velocity u); species
+  convection-dispersion-reaction balances, total-mass and energy balances;
+  inlet rows pin the IC (dX=0 / u=u_in), outlet rows are zero-gradient.
+  Reference quirks replicated exactly: the first interior point (i=1) uses a
+  one-sided second difference for species dispersion, carries the transient
+  total-mass term and an unscaled energy accumulation (interior points scale
+  it by 0.1), and the last-row boundary conditions for T and u are swapped
+  between the two blocks (:130-137) — row permutations within the outlet
+  block, harmless to the solution.
+- Observation: outlet standard-state flows in sccm (:204-208; note the
+  T/P factors cancel algebraically: F = C_out * u_out * S * 60 * R * 298 /
+  P_stp * 1e6) and outlet mole fractions (:220-229).
+- Gaussian log-likelihood over the 5 species flows WITHOUT the 2*pi constant
+  (my_loglike :280-299): -(0.5/sigma^2) * sum r^2 - n_data * log(sigma).
+- Solver-failure containment: failed solves produce flow sentinel -10000
+  so the particle is killed by likelihood (:234-254). Here "failure" is a
+  non-finite final state from the fixed-iteration Newton march.
+- Subset estimation (C19, SMC_methanation_main.py:126 +
+  methanation_functions.py:80): the particle holds only the estimated
+  parameters; the rest stay at base values.
+- Uniform priors from use_params +- use_params * k multipliers
+  (methanation_set_conditon.py:61-70).
+
+Data caveat: the reference loads ``methanation_data/information.csv`` which
+is ABSENT from its repo (SURVEY.md §6) — its methanation mains cannot run.
+We therefore ship a deterministic synthetic condition-table generator with
+lab-plausible ranges, and generate observations from the true parameters +
+noise exactly like the reference's "artificial data" branch
+(SMC_methanation_main.py:86-107).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smc_tpu.ops.dae import geometric_schedule, implicit_euler_dae
+from smc_tpu.priors import Prior
+
+# ---- physical constants (methanation_set_conditon.py:73-89) ---------------
+SC = (-4.0, -1.0, 1.0, 2.0, 0.0)   # stoichiometry (H2, CO2, CH4, H2O, Ar)
+DZ_DISP = 0.95e-5                  # axial dispersion, m^2/s
+RHOS = 5075.0                      # catalyst density, kg/m^3
+HR = -164940.0                     # reaction enthalpy, J/mol
+R_GAS = 8.3144589                  # J/mol/K
+RR = 0.01 / 2                      # reactor radius, m
+AREA = float(np.pi * RR ** 2)      # cross-section, m^2
+CPG = 2800.0                       # gas heat capacity, J/kg/K
+CPS = 698.0                        # catalyst heat capacity, J/kg/K
+KEFF = 0.72                        # effective conductivity, W/m/K
+DINT = 0.005                       # internal diameter, m
+U_HT = 68.2480                     # wall heat-transfer coeff, W/m^2/K
+P_STP = 1.013e5                    # Pa
+MOLW = (2.0, 44.0, 16.0, 18.0, 40.0)
+
+# True parameters (methanation_set_conditon.py:55-57).
+KIN_TRUE = (13.04, 52.2e3, 1.147e5, 96.7e3, 23.34, -6.0, 0.72, -2.51e3)
+SIGMA_TRUE = 5.0
+PARAM_NAMES = ("Af", "Eaf", "Ar", "Ear", "BCO2", "dHCO2", "BH2O", "dHH2O",
+               "sigma")
+# Prior bound multipliers (methanation_set_conditon.py:64-65).
+HIGH_K = (25.0, 1.0, 30.0, 2.0, 1.0, -2.0, 1.0, -2.0, 2.0)
+LOW_K = (4.0, 1.0, 4.0, 1.0, 1.0, -2.0, 1.0, -2.0, 0.9)
+# Default estimated subset (methanation_set_conditon.py:19).
+EST_DEFAULT = (0, 1, 2, 3, 8)
+
+NX = 51
+
+
+def rate_rCH4(T, Ca, Cb, Cc, Cd, kin):
+    """LHHW methanation rate, mol/(m^3 s) (func_rCH4)."""
+    PH2 = Ca * R_GAS * T * 1e-6
+    PCO2 = Cb * R_GAS * T * 1e-6
+    PCH4 = Cc * R_GAS * T * 1e-6
+    PH2O = Cd * R_GAS * T * 1e-6
+    kf = kin[0] * jnp.exp(-kin[1] / (R_GAS * T))
+    ks = kin[2] * jnp.exp(-kin[3] / (R_GAS * T))
+    kCO2 = kin[4] * jnp.exp(-kin[5] / (R_GAS * T))
+    kH2O = kin[6] * jnp.exp(-kin[7] / (R_GAS * T))
+    rf = 5075e3 * kf * kCO2 * PCO2 * jnp.maximum(0.001, PH2) ** 0.5 \
+        / (1.0 + kCO2 * PCO2) ** 2
+    rr = 5075e3 * ks * kH2O * PH2O * PCH4 ** 2 / (1.0 + kH2O * PH2O) ** 2
+    return rf - rr
+
+
+def gas_density(C, T, P0):
+    """Ideal-gas mixture density, kg/m^3 (func_rohg). C: (..., 5)."""
+    mw = jnp.asarray(MOLW, C.dtype)
+    return P0 / (R_GAS * T) * jnp.sum(C * mw, -1) / jnp.sum(C, -1) * 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Condition table
+# ---------------------------------------------------------------------------
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Conditions:
+    """Per-experiment operating conditions (derived quantities precomputed;
+    replaces the information.csv load + unit conversions,
+    methanation_set_conditon.py:137-214)."""
+    C_in: jnp.ndarray      # (n, 5) inlet concentrations, mol/m^3
+    T_in: jnp.ndarray      # (n,) K
+    T_jacket: jnp.ndarray  # (n,) K
+    u_in: jnp.ndarray      # (n,) m/s
+    void: jnp.ndarray      # (n,)
+    dz: jnp.ndarray        # (n,) m  (= length / (NX-1))
+    P0: jnp.ndarray        # (n,) Pa (total pressure = sum(C_in) R T_in)
+
+    @property
+    def n_data(self) -> int:
+        return self.T_in.shape[0]
+
+    def select(self, idx) -> "Conditions":
+        return jax.tree_util.tree_map(lambda x: x[jnp.asarray(idx)], self)
+
+
+def make_condition_table(n_conditions: int = 30,
+                         nx: int = NX,
+                         t_jacket_c=(120.0, 180.0),
+                         total_sccm=(200.0, 600.0),
+                         h2_co2_ratio=(4.0, 5.0),
+                         ar_frac=(0.15, 0.40),
+                         p_gauge_mpa=(0.0, 0.2),
+                         length_mm: float = 150.0,
+                         void_frac: float = 0.39,
+                         seed: int = 20250205) -> Conditions:
+    """Deterministic lab-plausible condition table.
+
+    Conditions sweep jacket temperature, total flow, H2:CO2 feed ratio, Ar
+    dilution and pressure on low-discrepancy grids (reproducible; no RNG
+    state). Inlet is CH4/H2O-free; T_in = T_jacket (preheated feed).
+    The default ranges straddle the light-off curve of the true kinetics
+    (CO2 conversion ~0.1-0.99 across the table), so the observations are
+    maximally informative about the Arrhenius parameters; H2 is fed in
+    stoichiometric excess so full conversion never drives concentrations
+    negative (the reference rate law's max(0.001, PH2) guard permits that).
+    """
+    i = np.arange(n_conditions)
+    frac = (i * 0.6180339887) % 1.0  # golden-ratio low-discrepancy sweep
+    tj = np.linspace(t_jacket_c[0], t_jacket_c[1], n_conditions) + 273.0
+    tot = total_sccm[0] + frac * (total_sccm[1] - total_sccm[0])
+    ratio = h2_co2_ratio[0] + ((i * 0.3819660113) % 1.0) * (
+        h2_co2_ratio[1] - h2_co2_ratio[0])
+    arf = ar_frac[0] + ((i * 0.2360679775) % 1.0) * (ar_frac[1] - ar_frac[0])
+    pg = p_gauge_mpa[0] + ((i * 0.7639320225) % 1.0) * (
+        p_gauge_mpa[1] - p_gauge_mpa[0])
+
+    react = 1.0 - arf
+    f_co2 = tot * react / (1.0 + ratio)
+    f_h2 = tot * react * ratio / (1.0 + ratio)
+    f_ar = tot * arf
+    flows = np.stack([f_h2, f_co2, np.zeros(n_conditions),
+                      np.zeros(n_conditions), f_ar], axis=1)  # (n, 5) sccm
+
+    T_in = tj
+    P_abs = pg * 1e6 + 101325.0
+    # u_in conversion (methanation_set_conditon.py:190,214).
+    u_in = tot * 1.667e-8 / AREA * (101325.0 * T_in) / (P_abs * 298.0)
+    C_in = (P_abs / (R_GAS * T_in))[:, None] * flows / tot[:, None]
+    dz = np.full(n_conditions, (length_mm / 1000.0) / (nx - 1))
+    void = np.full(n_conditions, void_frac)
+    P0 = C_in.sum(1) * R_GAS * T_in
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    return Conditions(C_in=f32(C_in), T_in=f32(T_in), T_jacket=f32(tj),
+                      u_in=f32(u_in), void=f32(void), dz=f32(dz), P0=f32(P0))
+
+
+# ---------------------------------------------------------------------------
+# DAE residual (local rows) and solve
+# ---------------------------------------------------------------------------
+def _local_rows(y_m, y, y_p, yd, flags, cond_vec, kin):
+    """Residual rows for one grid point; block-tridiagonal coupling.
+
+    y_*: (7,) = [Ca..Ce, T, u] at neighbor/current grid points.
+    flags: (3,) floats = [is_inlet, is_first_interior, is_outlet].
+    cond_vec: (4,) = [T_jacket, u_in, void, dz] + P0 appended -> (5,).
+    """
+    T_jacket, u_in, void, dz, P0 = (cond_vec[0], cond_vec[1], cond_vec[2],
+                                    cond_vec[3], cond_vec[4])
+    is_inlet, is_first, is_outlet = flags[0], flags[1], flags[2]
+
+    C_m, T_m, u_m = y_m[:5], y_m[5], y_m[6]
+    C, T, u = y[:5], y[5], y[6]
+    C_p, T_p = y_p[:5], y_p[5]
+    Cd, Td = yd[:5], yd[5]
+
+    sc = jnp.asarray(SC, y.dtype)
+    r = rate_rCH4(T, C[0], C[1], C[2], C[3], kin)
+
+    # species balances (one-sided dispersion at the first interior point —
+    # methanation_set_likelihood.py:105 vs :115)
+    conv = (u * C - u_m * C_m) / dz
+    lap = jnp.where(is_first > 0, C_p - C, C_p - 2.0 * C + C_m) / dz ** 2
+    res_c = -void * Cd - conv + void * DZ_DISP * lap + (1 - void) * sc * r
+
+    # total-mass balance (T-block row; transient term only at i=1, :110)
+    invT_m, invT, invT_p = 1.0 / T_m, 1.0 / T, 1.0 / T_p
+    tmb = (-u * P0 * (invT - invT_m) / dz
+           - P0 * invT * (u - u_m) / dz
+           + void * DZ_DISP * P0 * (invT_p - 2.0 * invT + invT_m) / dz ** 2
+           + (1 - void) * R_GAS * (-2.0) * r)
+    tmb = tmb + jnp.where(is_first > 0, P0 * void * invT ** 2 * Td, 0.0)
+
+    # energy balance (u-block row; accumulation scaled 0.1 in the interior,
+    # unscaled at i=1 — :111 vs :126)
+    rho = gas_density(C, T, P0)
+    heatcap = void * rho * CPG + (1 - void) * RHOS * CPS
+    kappa = jnp.where(is_first > 0, 1.0, 0.1)
+    enb = (-kappa * heatcap * Td
+           - rho * CPG * (T * u - T_m * u_m) / dz
+           + KEFF * (T_p - 2.0 * T + T_m) / dz ** 2
+           + (1 - void) * (-HR) * r
+           - 2.0 * U_HT / DINT * (T - T_jacket))
+
+    pde_rows = jnp.concatenate([res_c, tmb[None], enb[None]])
+
+    # inlet: dX=0 for concentrations and T, u pinned to u_in (:96-102)
+    inlet_rows = jnp.concatenate([Cd, Td[None], (u - u_in)[None]])
+    # outlet: zero gradient; note the reference's swapped T/u rows (:130-137)
+    outlet_rows = jnp.concatenate(
+        [C - C_m, (u - u_m)[None], (T - T_m)[None]])
+
+    rows = jnp.where(is_inlet > 0, inlet_rows,
+                     jnp.where(is_outlet > 0, outlet_rows, pde_rows))
+    return rows
+
+
+def _grid_flags(nx: int) -> jnp.ndarray:
+    f = np.zeros((nx, 3), np.float32)
+    f[0, 0] = 1.0
+    f[1, 1] = 1.0
+    f[-1, 2] = 1.0
+    return jnp.asarray(f)
+
+
+def initial_guess(cond: Conditions, nx: int = NX) -> jnp.ndarray:
+    """(n, nx, 7) initial state: inlet values everywhere, interior T=400
+    (SMC_methanation_main.py:47-58)."""
+    n = cond.n_data
+    y = jnp.zeros((n, nx, 7), jnp.float32)
+    y = y.at[:, :, :5].set(cond.C_in[:, None, :])
+    y = y.at[:, :, 5].set(400.0)
+    y = y.at[:, 0, 5].set(cond.T_in)
+    y = y.at[:, :, 6].set(cond.u_in[:, None])
+    return y
+
+
+def solve_condition(y0: jnp.ndarray, cond_vec: jnp.ndarray, kin: jnp.ndarray,
+                    dts: jnp.ndarray, newton_iters: int = 3) -> jnp.ndarray:
+    """Integrate one condition to t_final; returns final state (nx, 7)."""
+    nx = y0.shape[0]
+    flags = _grid_flags(nx)
+
+    def rows(y_m, y, y_p, yd, fl):
+        return _local_rows(y_m, y, y_p, yd, fl, cond_vec, kin)
+
+    return implicit_euler_dae(rows, y0, flags, dts, newton_iters)
+
+
+def outlet_flows(y_final: jnp.ndarray, ) -> jnp.ndarray:
+    """Outlet standard-state flows (5,) in sccm; the reference's T/P factors
+    cancel (methanation_set_likelihood.py:204-208)."""
+    C_out = y_final[-1, :5]
+    u_out = y_final[-1, 6]
+    return C_out * u_out * AREA * 60.0 * R_GAS * 298.0 / P_STP * 1e6
+
+
+def outlet_molfractions(y_final: jnp.ndarray) -> jnp.ndarray:
+    C_out = y_final[-1, :5]
+    return C_out / jnp.sum(C_out)
+
+
+def _rows_bl(Y_m, Y, Y_p, Yd, flags, condv, kin):
+    """Batch-last residual: Y_* (7, NX, B); flags (3, NX, 1); condv (5, B)
+    = [T_jacket, u_in, void, dz, P0]; kin (8, B). Same physics as
+    ``_local_rows`` (see its docstring for reference citations), written so
+    every op is elementwise over the flattened particlexcondition batch on
+    the lane axis."""
+    T_jacket, u_in, void, dz, P0 = condv[0], condv[1], condv[2], condv[3], condv[4]
+    is_inlet, is_first, is_outlet = flags[0], flags[1], flags[2]  # (NX, 1)
+
+    C_m, T_m, u_m = Y_m[:5], Y_m[5], Y_m[6]
+    C, T, u = Y[:5], Y[5], Y[6]
+    C_p, T_p = Y_p[:5], Y_p[5]
+    Cd, Td = Yd[:5], Yd[5]
+
+    sc = jnp.asarray(SC, Y.dtype)[:, None, None]
+    r = rate_rCH4(T, C[0], C[1], C[2], C[3], kin)        # (NX, B)
+
+    conv = (u * C - u_m * C_m) / dz
+    lap = jnp.where(is_first > 0, C_p - C, C_p - 2.0 * C + C_m) / dz ** 2
+    res_c = -void * Cd - conv + void * DZ_DISP * lap + (1 - void) * sc * r
+
+    invT_m, invT, invT_p = 1.0 / T_m, 1.0 / T, 1.0 / T_p
+    tmb = (-u * P0 * (invT - invT_m) / dz
+           - P0 * invT * (u - u_m) / dz
+           + void * DZ_DISP * P0 * (invT_p - 2.0 * invT + invT_m) / dz ** 2
+           + (1 - void) * R_GAS * (-2.0) * r)
+    tmb = tmb + jnp.where(is_first > 0, P0 * void * invT ** 2 * Td, 0.0)
+
+    mw = jnp.asarray(MOLW, Y.dtype)[:, None, None]
+    rho = P0 / (R_GAS * T) * jnp.sum(C * mw, 0) / jnp.sum(C, 0) * 1e-3
+    heatcap = void * rho * CPG + (1 - void) * RHOS * CPS
+    kappa = jnp.where(is_first > 0, 1.0, 0.1)
+    enb = (-kappa * heatcap * Td
+           - rho * CPG * (T * u - T_m * u_m) / dz
+           + KEFF * (T_p - 2.0 * T + T_m) / dz ** 2
+           + (1 - void) * (-HR) * r
+           - 2.0 * U_HT / DINT * (T - T_jacket))
+
+    pde = jnp.concatenate([res_c, tmb[None], enb[None]], axis=0)
+    inlet = jnp.concatenate([Cd, Td[None], (u - u_in)[None]], axis=0)
+    outlet = jnp.concatenate([C - C_m, (u - u_m)[None], (T - T_m)[None]],
+                             axis=0)
+    fl = flags[:, None]  # (3, 1, NX, 1) -> broadcast over (7, NX, B)
+    return jnp.where(fl[0] > 0, inlet, jnp.where(fl[2] > 0, outlet, pde))
+
+
+def methanation_prior(est_idx=EST_DEFAULT) -> Prior:
+    """Uniform prior from use_params +- use_params*k on the estimated subset
+    (methanation_set_conditon.py:61-70)."""
+    use = np.asarray(KIN_TRUE + (SIGMA_TRUE,))
+    hi = use + use * np.asarray(HIGH_K)
+    lo = use - use * np.asarray(LOW_K)
+    idx = list(est_idx)
+    return Prior.uniform(lo[idx], hi[idx])
+
+
+@dataclasses.dataclass(frozen=True)
+class MethanationModel:
+    """Batched methanation log-likelihood: vmap over particles x conditions
+    of the implicit DAE solve (replaces one Ray task per particle running 30
+    sequential IDA solves, methanation_functions.py:44-65)."""
+
+    cond: Conditions
+    obs: jnp.ndarray                 # (5, n_data) observed flows, sccm
+    prior: Prior
+    est_idx: Tuple[int, ...] = EST_DEFAULT
+    base_params: Tuple[float, ...] = KIN_TRUE + (SIGMA_TRUE,)
+    nx: int = NX
+    t_final: float = 75.0
+    n_steps: int = 40
+    newton_iters: int = 3
+    growth: float = 1.35
+    # Particles are processed in chunks of (chunk x n_data) simultaneous DAE
+    # systems (lax.map over chunks): bounds the live Jacobian working set
+    # (4 x 49 x NX x chunk x n_data x 4B) instead of materializing all
+    # N x n_data systems at once.
+    particle_chunk: int = 256
+    # "batch_last": lanes-major engine (ops/dae_fast.py) — the TPU hot path.
+    # "blocked": per-system vmap engine (ops/dae.py) — oracle for tests.
+    engine: str = "batch_last"
+
+    @property
+    def param_names(self) -> Tuple[str, ...]:
+        return tuple(PARAM_NAMES[i] for i in self.est_idx)
+
+    def _dts(self):
+        return jnp.asarray(geometric_schedule(self.t_final, self.n_steps,
+                                              self.growth))
+
+    def _cond_vecs(self):
+        c = self.cond
+        return jnp.stack([c.T_jacket, c.u_in, c.void, c.dz, c.P0], axis=1)
+
+    def simulate_flows(self, kin: jnp.ndarray) -> jnp.ndarray:
+        """(5, n_data) outlet flows at one kinetic parameter vector, with the
+        -10000 failure sentinel applied per condition."""
+        if self.engine == "batch_last":
+            return self._flows_batch_bl(kin[None])[0]
+        y0 = initial_guess(self.cond, self.nx)
+        dts = self._dts()
+        cv = self._cond_vecs()
+
+        def one(y0_i, cv_i):
+            yf = solve_condition(y0_i, cv_i, kin, dts, self.newton_iters)
+            return outlet_flows(yf)
+
+        flows = jax.vmap(one)(y0, cv)  # (n_data, 5)
+        ok = jnp.all(jnp.isfinite(flows), axis=1, keepdims=True)
+        flows = jnp.where(ok, flows, -10000.0)
+        return flows.T
+
+    def _flows_batch_bl(self, kin_b: jnp.ndarray) -> jnp.ndarray:
+        """Batch-last engine: kin_b (Nc, 8) -> flows (Nc, 5, n_data).
+
+        Flattens particles x conditions onto one lane axis B = Nc * n_data
+        (particle-major) and runs ONE batch-last BDF march for all systems.
+        """
+        from smc_tpu.ops.dae_fast import bdf_march_bl
+
+        nc = self.cond.n_data
+        n = kin_b.shape[0]
+        bt = n * nc
+        kin_bl = jnp.repeat(kin_b.T, nc, axis=1)           # (8, B)
+        condv = jnp.tile(self._cond_vecs().T, (1, n))      # (5, B)
+        y0 = initial_guess(self.cond, self.nx)             # (nc, NX, 7)
+        y0 = jnp.moveaxis(y0, 0, -1).transpose(1, 0, 2)    # (7, NX, nc)
+        y0 = jnp.tile(y0, (1, 1, n))                       # (7, NX, B)
+        flags = _grid_flags(self.nx).T[:, :, None]         # (3, NX, 1)
+
+        def rows(y_m, y, y_p, yd):
+            return _rows_bl(y_m, y, y_p, yd, flags, condv, kin_bl)
+
+        yf = bdf_march_bl(rows, y0, self._dts(),
+                          newton_iters=self.newton_iters)
+        flows = (yf[:5, -1, :] * yf[6, -1, :] * AREA * 60.0 * R_GAS * 298.0
+                 / P_STP * 1e6)                            # (5, B)
+        flows = flows.reshape(5, n, nc)
+        ok = jnp.all(jnp.isfinite(flows), axis=0, keepdims=True)
+        flows = jnp.where(ok, flows, -10000.0)
+        return jnp.moveaxis(flows, 1, 0)                   # (Nc, 5, nc)
+
+    def _ll_from_flows(self, flows: jnp.ndarray, sigma: jnp.ndarray):
+        """flows (..., 5, n_data), sigma (...,) -> log-lik (...,).
+        my_loglike (:280-299): Gaussian without the 2*pi constant."""
+        sigma_safe = jnp.maximum(sigma, 1e-12)
+        resid = flows - self.obs
+        n_data = self.obs.shape[1]
+        ll = jnp.sum(-(0.5 / sigma_safe[..., None, None] ** 2) * resid ** 2,
+                     axis=(-1, -2)) - 5 * n_data * jnp.log(sigma_safe)
+        return jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
+
+    def _loglik_one(self, theta: jnp.ndarray):
+        """Oracle path: one particle through the per-system (blocked) engine."""
+        full = jnp.asarray(self.base_params, jnp.float32)
+        full = full.at[jnp.asarray(self.est_idx)].set(theta)
+        kin, sigma = full[:8], full[8]
+        flows = self.simulate_flows(kin)
+        return self._ll_from_flows(flows, sigma), flows
+
+    def log_likelihood(self, theta: jnp.ndarray):
+        """theta (N, n_est) -> (log_lik (N,), flows (N, 5, n_data)).
+
+        batch_last engine: all particles' parameters are scattered into full
+        9-vectors (the base-parameter overwrite of C19,
+        methanation_functions.py:80) and the flattened particle x condition
+        batch runs through one lanes-major BDF march per chunk.
+        """
+        n = theta.shape[0]
+        full = jnp.tile(jnp.asarray(self.base_params, jnp.float32), (n, 1))
+        full = full.at[:, jnp.asarray(self.est_idx)].set(theta)
+        kin_b, sigma = full[:, :8], full[:, 8]
+
+        if self.engine != "batch_last":
+            return jax.vmap(self._loglik_one)(theta)
+
+        chunk = min(self.particle_chunk, n)
+        if n % chunk != 0:
+            raise ValueError(f"n_particles={n} not divisible by "
+                             f"particle_chunk={chunk}")
+        if n == chunk:
+            flows = self._flows_batch_bl(kin_b)
+        else:
+            kin_c = kin_b.reshape(n // chunk, chunk, 8)
+            flows = jax.lax.map(self._flows_batch_bl, kin_c)
+            flows = flows.reshape(n, 5, -1)
+        return self._ll_from_flows(flows, sigma), flows
+
+    # -- construction -------------------------------------------------------
+    @staticmethod
+    def default(n_conditions: int = 30, est_idx=EST_DEFAULT,
+                key=None, noise: bool = True, nx: int = NX, **solver_kw
+                ) -> "MethanationModel":
+        """Model over the synthetic condition table with observations
+        generated from the true parameters + N(0, sigma_true) noise
+        (the reference's artificial-data branch,
+        SMC_methanation_main.py:86-107)."""
+        cond = make_condition_table(n_conditions, nx=nx)
+        model0 = MethanationModel(
+            cond=cond, obs=jnp.zeros((5, n_conditions)), prior=methanation_prior(est_idx),
+            est_idx=tuple(est_idx), nx=nx, **solver_kw)
+        flows_true = model0.simulate_flows(jnp.asarray(KIN_TRUE, jnp.float32))
+        if noise:
+            if key is None:
+                key = jax.random.key(20250205)
+            flows_obs = flows_true + SIGMA_TRUE * jax.random.normal(
+                key, flows_true.shape)
+        else:
+            flows_obs = flows_true
+        return dataclasses.replace(model0, obs=flows_obs)

@@ -1,0 +1,81 @@
+"""IO subsystem tests: run-dir, checkpoint round-trip + resume, CSV."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smc_tpu import SMCConfig, init_state, make_smc_step, run_smc
+from smc_tpu.io.rundir import RunDir
+from smc_tpu.io.checkpoint import save_state, load_state
+from smc_tpu.io.csvio import (save_posterior_csv, save_particles_csv,
+                              load_particles_csv)
+from smc_tpu.models.michaelis_menten import MichaelisMentenModel
+
+
+def test_rundir_layout(tmp_path):
+    rd = RunDir(root=str(tmp_path), tag="mm")
+    for s in RunDir.SUBDIRS:
+        assert os.path.isdir(rd.sub(s))
+    rd.archive_config(SMCConfig(n_particles=10),
+                      model=MichaelisMentenModel.default(method="exact"))
+    assert os.path.exists(rd.file("config.json"))
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    model = MichaelisMentenModel.default(method="exact")
+    cfg = SMCConfig(n_particles=128)
+    key = jax.random.key(3)
+    state = init_state(key, model, cfg)
+    step = make_smc_step(model, cfg, donate=False)
+    state = step(state)
+
+    path = str(tmp_path / "ckpt.npz")
+    save_state(path, state)
+    restored = load_state(path)
+
+    np.testing.assert_array_equal(np.asarray(state.particles),
+                                  np.asarray(restored.particles))
+    assert float(state.gamma) == float(restored.gamma)
+
+    # Resuming must produce the identical next state (same key).
+    nxt_a = step(state)
+    nxt_b = step(restored)
+    np.testing.assert_array_equal(np.asarray(nxt_a.particles),
+                                  np.asarray(nxt_b.particles))
+
+    # And run_smc accepts the restored state.
+    final = run_smc(model, cfg, key, state=restored, verbose=False)
+    assert float(final.gamma) == 1.0
+
+
+def test_posterior_csv_roundtrip(tmp_path):
+    p = np.random.default_rng(0).normal(size=(50, 3)).astype(np.float32)
+    f1 = str(tmp_path / "post.csv")
+    save_posterior_csv(f1, p, ["Vmax", "Km", "sigma"])
+    assert open(f1).readline().strip() == "Vmax,Km,sigma"
+    back = load_particles_csv(f1)
+    np.testing.assert_allclose(back, p, rtol=1e-5)
+
+    f2 = str(tmp_path / "raw.csv")
+    save_particles_csv(f2, p)
+    np.testing.assert_allclose(load_particles_csv(f2), p, rtol=1e-5)
+
+
+def test_plots_smoke(tmp_path):
+    from smc_tpu.viz.plots import (plot_marginal_histograms, plot_parity,
+                                   plot_pairplot,
+                                   plot_prior_posterior_compare)
+    rng = np.random.default_rng(0)
+    p1 = rng.normal(size=(100, 3))
+    p2 = rng.normal(size=(100, 3)) * 0.3
+    names = ["a", "b", "c"]
+    assert plot_marginal_histograms(p2, str(tmp_path / "h.png"), names,
+                                    true_values=[0, 0, 0])
+    assert plot_prior_posterior_compare(p1, p2, str(tmp_path / "c.png"),
+                                        names)
+    assert plot_pairplot(p2, str(tmp_path / "pp.png"), names)
+    obs = rng.normal(size=(5, 6))
+    pred = obs[None] + rng.normal(size=(20, 5, 6)) * 0.1
+    assert plot_parity(obs, pred, str(tmp_path / "box.png"),
+                       str(tmp_path / "mean.png"))
