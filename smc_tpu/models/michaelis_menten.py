@@ -98,26 +98,42 @@ class MichaelisMentenModel:
                                     method=method, substeps=substeps)
 
     def _loglik_one(self, theta: jnp.ndarray):
-        Vmax, Km, sigma = theta[0], theta[1], theta[2]
-        if self.method == "exact":
-            S = _simulate_exact(Vmax, Km, self.s0, self.ts)  # (T, n_ds)
-        else:
-            S = _simulate_rk4(Vmax, Km, self.s0, self.ts, self.substeps)
-        P_model = (self.s0[None, :] - S).T  # (n_ds, T)
-        resid = self.obs - P_model
-        n = self.obs.shape[1]
-        sigma_safe = jnp.maximum(sigma, 1e-12)
-        ll = (-0.5 * n * (_LOG2PI + 2.0 * jnp.log(sigma_safe))
-              - jnp.sum(resid * resid, axis=1) / (2.0 * sigma_safe ** 2))
-        total = jnp.sum(ll)
-        # sigma <= 0 -> -inf (Micmem_likelihood.py:53-54); also mask non-finite
-        # trajectories (replaces solver-failure sentinels).
-        bad = (sigma <= 0.0) | ~jnp.isfinite(total)
-        return jnp.where(bad, -jnp.inf, total), P_model
+        ll, pred = self.log_likelihood(theta[None])
+        return ll[0], pred[0]
 
     def log_likelihood(self, theta: jnp.ndarray):
-        """theta (N, 3) -> (log_lik (N,), P_model (N, n_ds, T))."""
-        return jax.vmap(self._loglik_one)(theta)
+        """theta (N, 3) -> (log_lik (N,), P_model (N, n_ds, T)).
+
+        Batch-last layout: the particle axis N rides the VPU lanes — the
+        integrator state is one (n_ds, N) array (no per-particle vmap), so
+        every RK stage / Lambert-W iteration is a full-width elementwise op.
+        """
+        Vmax, Km, sigma = theta[:, 0], theta[:, 1], theta[:, 2]  # (N,)
+        s0 = self.s0[:, None]                                    # (n_ds, 1)
+        if self.method == "exact":
+            Km_safe = jnp.maximum(Km, 1e-8)
+            logz = (jnp.log(s0 / Km_safe)[None]
+                    + (s0[None] - Vmax[None, None, :] * self.ts[:, None, None])
+                    / Km_safe)                                   # (T, n_ds, N)
+            z = jnp.exp(jnp.clip(logz, -60.0, 60.0))
+            S = Km_safe * lambertw(z)
+        else:
+            def f(t, S):                                         # S (n_ds, N)
+                return -Vmax * S / (Km + S)
+            S0 = jnp.broadcast_to(s0, (self.s0.shape[0], theta.shape[0]))
+            S = rk4_grid(f, S0, self.ts, substeps=self.substeps)  # (T,n_ds,N)
+        P_model = s0[None] - S                                   # (T, n_ds, N)
+        resid = self.obs.T[:, :, None] - P_model
+        n = self.obs.shape[1]
+        sigma_safe = jnp.maximum(sigma, 1e-12)
+        ll_ds = (-0.5 * n * (_LOG2PI + 2.0 * jnp.log(sigma_safe))
+                 - jnp.sum(resid * resid, axis=0) / (2.0 * sigma_safe ** 2))
+        total = jnp.sum(ll_ds, axis=0)                           # (N,)
+        # sigma <= 0 -> -inf (Micmem_likelihood.py:53-54); also mask
+        # non-finite trajectories (replaces solver-failure sentinels).
+        bad = (sigma <= 0.0) | ~jnp.isfinite(total)
+        ll = jnp.where(bad, -jnp.inf, total)
+        return ll, jnp.moveaxis(P_model, -1, 0)                  # (N,n_ds,T)
 
 
 def generate_mm_pseudo_data(Vmax_true: float = MM_TRUE_VMAX,
