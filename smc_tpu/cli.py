@@ -1,0 +1,217 @@
+"""Command-line interface.
+
+Replaces the reference's argument-less entry scripts (config edited in
+source, SURVEY.md §5 'no CLI flags, no env vars') with a real CLI:
+
+  smc-tpu run --model mm --particles 1000                # inference run
+  smc-tpu run --model methanation --particles 512
+  smc-tpu run --model banana --device-loop
+  smc-tpu ensemble --datasets 8 --particles 512          # hierarchical
+  smc-tpu generate-data --outdir data                    # C16 pseudo-data
+  smc-tpu resume --checkpoint runs/<ts>/checkpoints/step3.npz --model mm
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--particles", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--outdir", default="runs")
+    p.add_argument("--max-steps", type=int, default=50)
+    p.add_argument("--mh-steps", type=int, default=5)
+    p.add_argument("--mh-steps-final", type=int, default=20)
+    p.add_argument("--ess-limit", type=float, default=0.5)
+    p.add_argument("--no-plots", action="store_true")
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard the particle axis over this many devices "
+                        "(0 = single device)")
+    p.add_argument("--device-loop", action="store_true",
+                   help="fuse the whole run into one XLA program "
+                        "(no per-step artifacts)")
+
+
+def _build_model(args):
+    from smc_tpu.models.michaelis_menten import (
+        MichaelisMentenModel, MM_TRUE_VMAX, MM_TRUE_KM, MM_TRUE_NOISE)
+    if args.model == "mm":
+        m = MichaelisMentenModel.default(method=args.mm_method)
+        return m, [MM_TRUE_VMAX, MM_TRUE_KM, MM_TRUE_NOISE]
+    if args.model == "methanation":
+        from smc_tpu.models.methanation import (MethanationModel, KIN_TRUE,
+                                                SIGMA_TRUE)
+        m = MethanationModel.default(n_conditions=args.conditions,
+                                     particle_chunk=args.chunk)
+        truth = list(KIN_TRUE) + [SIGMA_TRUE]
+        return m, [truth[i] for i in m.est_idx]
+    if args.model == "banana":
+        from smc_tpu.models.synthetic import BananaModel
+        return BananaModel(), None
+    if args.model == "gmm":
+        from smc_tpu.models.synthetic import GaussianMixtureModel
+        return GaussianMixtureModel.default(), None
+    raise SystemExit(f"unknown model {args.model!r}")
+
+
+def _cfg(args):
+    from smc_tpu.config import SMCConfig
+    return SMCConfig(n_particles=args.particles, max_steps=args.max_steps,
+                     mh_steps=args.mh_steps,
+                     mh_steps_final=args.mh_steps_final,
+                     ess_limit=args.ess_limit)
+
+
+def cmd_run(args):
+    import jax
+    from smc_tpu.io.rundir import RunDir
+    from smc_tpu.runner import run_with_artifacts
+    model, truth = _build_model(args)
+    cfg = _cfg(args)
+    key = jax.random.key(args.seed)
+
+    if args.device_loop or args.mesh:
+        from smc_tpu.smc.driver import run_smc_on_device, run_smc, init_state
+        state, psh = None, None
+        if args.mesh:
+            from smc_tpu.parallel.mesh import (make_mesh, shard_state,
+                                               particle_sharding)
+            mesh = make_mesh(args.mesh)
+            state = shard_state(init_state(key, model, cfg), mesh)
+            psh = particle_sharding(mesh)
+        if args.device_loop:
+            final = run_smc_on_device(model, cfg, key, state=state,
+                                      psharding=psh)
+        else:
+            final = run_smc(model, cfg, key, state=state, psharding=psh,
+                            verbose=not args.quiet)
+        p = np.asarray(final.particles)
+        rd = RunDir(root=args.outdir, tag=args.model)
+        from smc_tpu.io.csvio import save_posterior_csv
+        save_posterior_csv(rd.file("Posterior_Distribution.csv"), p,
+                           model.param_names)
+    else:
+        final, rd = run_with_artifacts(
+            model, cfg, key, rundir=RunDir(root=args.outdir, tag=args.model),
+            true_values=truth, plots_enabled=not args.no_plots,
+            verbose=not args.quiet)
+        p = np.asarray(final.particles)
+
+    print(f"gamma: {float(final.gamma)}  steps: {int(final.step)}")
+    for i, nm in enumerate(model.param_names or
+                           [f"p{i}" for i in range(p.shape[1])]):
+        print(f"  {nm}: mean={p[:, i].mean():.6g} std={p[:, i].std():.4g}")
+    print(f"artifacts: {rd.path}")
+    return 0
+
+
+def cmd_resume(args):
+    import jax
+    from smc_tpu.io.rundir import RunDir
+    from smc_tpu.runner import run_with_artifacts
+    model, truth = _build_model(args)
+    cfg = _cfg(args)
+    final, rd = run_with_artifacts(
+        model, cfg, jax.random.key(args.seed),
+        rundir=RunDir(root=args.outdir, tag=f"{args.model}_resume"),
+        true_values=truth, resume_from=args.checkpoint,
+        plots_enabled=not args.no_plots, verbose=not args.quiet)
+    print(f"gamma: {float(final.gamma)}  steps: {int(final.step)}")
+    print(f"artifacts: {rd.path}")
+    return 0
+
+
+def cmd_ensemble(args):
+    import jax
+    import jax.numpy as jnp
+    from smc_tpu.models.michaelis_menten import (generate_mm_pseudo_data,
+                                                 make_mm_data_loglik)
+    from smc_tpu.priors import Prior
+    from smc_tpu.smc.ensemble import run_ensemble_on_device
+    ts, obs0, s0 = generate_mm_pseudo_data()
+    keys = jax.random.split(jax.random.key(args.seed + 1), args.datasets)
+    obs = jnp.stack([jnp.asarray(obs0) + 0.02 * jax.random.normal(k, obs0.shape)
+                     for k in keys])
+    loglik = make_mm_data_loglik(jnp.asarray(ts), jnp.asarray(s0))
+    prior = Prior.uniform([0.0, 0.0, 0.0], [10.0, 10.0, 10.0])
+    states = run_ensemble_on_device(jax.random.key(args.seed), prior, loglik,
+                                    obs, args.datasets, _cfg(args))
+    p = np.asarray(states.particles)
+    for d in range(args.datasets):
+        print(f"dataset {d}: gamma={float(states.gamma[d]):.3f} "
+              f"steps={int(states.step[d])} "
+              f"mean={np.round(p[d].mean(0), 4).tolist()}")
+    return 0
+
+
+def cmd_generate_data(args):
+    """C16 parity: write data/mm_pseudo_data_{i}.csv with columns
+    t,S_true,P_true,P_obs (Micmen_generate_data.py:31-66)."""
+    import os
+    import jax
+    from smc_tpu.models.michaelis_menten import (generate_mm_pseudo_data,
+                                                 MM_S0_LIST)
+    os.makedirs(args.outdir, exist_ok=True)
+    ts, obs, s0 = generate_mm_pseudo_data(key=jax.random.key(args.seed)
+                                          if args.seed else None)
+    for i in range(len(MM_S0_LIST)):
+        P_obs = obs[i]
+        logz = np.log(s0[i]) - np.log(0.5) + (s0[i] - 1.2 * ts) / 0.5
+        from smc_tpu.ops.lambertw import lambertw
+        import jax.numpy as jnp
+        S_true = 0.5 * np.asarray(lambertw(jnp.exp(jnp.clip(logz, -60, 60))))
+        P_true = s0[i] - S_true
+        path = os.path.join(args.outdir, f"mm_pseudo_data_{i}.csv")
+        with open(path, "w") as f:
+            f.write("t,S_true,P_true,P_obs\n")
+            for row in zip(ts, S_true, P_true, P_obs):
+                f.write(",".join(repr(float(v)) for v in row) + "\n")
+        print(f"wrote {path}")
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="smc-tpu",
+                                 description=__doc__.split("\n")[0])
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="run tempered-SMC inference")
+    pr.add_argument("--model", default="mm",
+                    choices=["mm", "methanation", "banana", "gmm"])
+    pr.add_argument("--mm-method", default="rk4", choices=["rk4", "exact"])
+    pr.add_argument("--conditions", type=int, default=30)
+    pr.add_argument("--chunk", type=int, default=256)
+    _add_common(pr)
+    pr.set_defaults(fn=cmd_run)
+
+    ps = sub.add_parser("resume", help="resume from a checkpoint")
+    ps.add_argument("--checkpoint", required=True)
+    ps.add_argument("--model", default="mm",
+                    choices=["mm", "methanation", "banana", "gmm"])
+    ps.add_argument("--mm-method", default="rk4", choices=["rk4", "exact"])
+    ps.add_argument("--conditions", type=int, default=30)
+    ps.add_argument("--chunk", type=int, default=256)
+    _add_common(ps)
+    ps.set_defaults(fn=cmd_resume)
+
+    pe = sub.add_parser("ensemble",
+                        help="hierarchical multi-dataset MM ensemble")
+    pe.add_argument("--datasets", type=int, default=4)
+    _add_common(pe)
+    pe.set_defaults(fn=cmd_ensemble)
+
+    pg = sub.add_parser("generate-data", help="write MM pseudo-data CSVs")
+    pg.add_argument("--outdir", default="data")
+    pg.add_argument("--seed", type=int, default=0)
+    pg.set_defaults(fn=cmd_generate_data)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -133,7 +133,20 @@ class MichaelisMentenModel:
         # non-finite trajectories (replaces solver-failure sentinels).
         bad = (sigma <= 0.0) | ~jnp.isfinite(total)
         ll = jnp.where(bad, -jnp.inf, total)
-        return ll, jnp.moveaxis(P_model, -1, 0)                  # (N,n_ds,T)
+        return ll, jnp.transpose(P_model, (2, 1, 0))             # (N,n_ds,T)
+
+
+def make_mm_data_loglik(ts, s0, method: str = "exact", substeps: int = 4):
+    """Data-sliced likelihood for the hierarchical ensemble
+    (smc_tpu/smc/ensemble.py): fn(theta (N,3), obs (n_ds,T)) -> (ll, pred)."""
+    prior = Prior.uniform([0.0, 0.0, 0.0], [10.0, 10.0, 10.0])
+
+    def fn(theta, obs):
+        m = MichaelisMentenModel(obs=obs, s0=s0, ts=ts, prior=prior,
+                                 method=method, substeps=substeps)
+        return m.log_likelihood(theta)
+
+    return fn
 
 
 def generate_mm_pseudo_data(Vmax_true: float = MM_TRUE_VMAX,

@@ -1,0 +1,46 @@
+"""CLI + runner smoke tests (fast models only)."""
+import os
+
+from smc_tpu.cli import main
+
+
+def test_cli_run_banana(tmp_path, capsys):
+    rc = main(["run", "--model", "banana", "--particles", "512",
+               "--outdir", str(tmp_path), "--quiet", "--no-plots"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "gamma: 1.0" in out
+    runs = os.listdir(tmp_path)
+    assert len(runs) == 1
+    assert os.path.exists(tmp_path / runs[0] / "Posterior_Distribution.csv")
+    assert os.path.exists(tmp_path / runs[0] / "pred" / "last_p_pred.csv")
+    assert os.path.exists(tmp_path / runs[0] / "checkpoints" / "final.npz")
+
+
+def test_cli_run_mm_with_artifacts_and_resume(tmp_path, capsys):
+    rc = main(["run", "--model", "mm", "--mm-method", "exact",
+               "--particles", "128", "--outdir", str(tmp_path), "--quiet"])
+    assert rc == 0
+    run = tmp_path / os.listdir(tmp_path)[0]
+    assert os.path.exists(run / "Posterior_Pairplot.png")
+    assert os.path.exists(run / "Histgram_compare.png")
+    assert os.path.exists(run / "config.json")
+    ck = run / "checkpoints" / "step2.npz"
+    assert os.path.exists(ck)
+    rc = main(["resume", "--checkpoint", str(ck), "--model", "mm",
+               "--mm-method", "exact", "--particles", "128",
+               "--outdir", str(tmp_path), "--quiet", "--no-plots"])
+    assert rc == 0
+    assert "gamma: 1.0" in capsys.readouterr().out
+
+
+def test_cli_generate_data(tmp_path):
+    rc = main(["generate-data", "--outdir", str(tmp_path / "d")])
+    assert rc == 0
+    import numpy as np
+    for i in range(6):
+        path = tmp_path / "d" / f"mm_pseudo_data_{i}.csv"
+        assert os.path.exists(path)
+        assert open(path).readline().strip() == "t,S_true,P_true,P_obs"
+        arr = np.loadtxt(path, delimiter=",", skiprows=1)
+        assert arr.shape == (40, 4)

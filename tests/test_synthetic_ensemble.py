@@ -1,0 +1,63 @@
+"""Synthetic stress targets + hierarchical ensemble tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smc_tpu import SMCConfig, run_smc_on_device
+from smc_tpu.models.synthetic import BananaModel, GaussianMixtureModel
+from smc_tpu.models.michaelis_menten import (
+    MichaelisMentenModel, generate_mm_pseudo_data, make_mm_data_loglik)
+from smc_tpu.smc.ensemble import run_ensemble_on_device
+from smc_tpu.priors import Prior
+
+
+def test_banana_posterior_on_ridge():
+    model = BananaModel()
+    cfg = SMCConfig(n_particles=2048)
+    state = run_smc_on_device(model, cfg, jax.random.key(0))
+    assert float(state.gamma) == 1.0
+    p = np.asarray(state.particles)
+    # Posterior concentrates near the ridge x1 = x0^2.
+    ridge_dev = np.abs(p[:, 1] - p[:, 0] ** 2)
+    assert np.median(ridge_dev) < 0.3
+    assert abs(p[:, 0].mean() - 1.0) < 0.5
+
+
+def test_gmm_mode_coverage():
+    """Tempering must keep all 4 separated modes populated (resampling
+    degeneracy stress)."""
+    model = GaussianMixtureModel.default(k=4, d=2, sep=8.0, std=0.5)
+    cfg = SMCConfig(n_particles=4096)
+    state = run_smc_on_device(model, cfg, jax.random.key(1))
+    assert float(state.gamma) == 1.0
+    frac = np.asarray(model.mode_fractions(state.particles))
+    assert (frac > 0.08).all(), frac  # every mode keeps >8% (ideal 25%)
+    # particles actually sit on modes
+    ll, _ = model.log_likelihood(state.particles)
+    assert float(jnp.median(ll)) > -5.0
+
+
+def test_hierarchical_mm_ensemble():
+    """4 datasets x 256 particles, per-dataset tempering schedules, one
+    fused program. Every population must reach gamma=1 and recover truth."""
+    ts, obs0, s0 = generate_mm_pseudo_data()
+    d_sets = 4
+    keys = jax.random.split(jax.random.key(7), d_sets)
+    # different noise realizations per dataset
+    obs = jnp.stack([jnp.asarray(obs0) +
+                     0.02 * jax.random.normal(k, obs0.shape) for k in keys])
+    loglik = make_mm_data_loglik(jnp.asarray(ts), jnp.asarray(s0))
+    prior = Prior.uniform([0.0, 0.0, 0.0], [10.0, 10.0, 10.0])
+    cfg = SMCConfig(n_particles=256)
+    states = run_ensemble_on_device(jax.random.key(0), prior, loglik, obs,
+                                    d_sets, cfg)
+    gammas = np.asarray(states.gamma)
+    assert (gammas == 1.0).all()
+    p = np.asarray(states.particles)  # (D, N, 3)
+    assert p.shape == (d_sets, 256, 3)
+    means = p.mean(axis=1)
+    assert (np.abs(means[:, 0] - 1.2) < 0.2).all()
+    assert (np.abs(means[:, 1] - 0.5) < 0.2).all()
+    # steps differ per dataset (independent schedules) or at least all ran
+    assert (np.asarray(states.step) >= 3).all()
