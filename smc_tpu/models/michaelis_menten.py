@@ -110,6 +110,15 @@ class MichaelisMentenModel:
         """
         Vmax, Km, sigma = theta[:, 0], theta[:, 1], theta[:, 2]  # (N,)
         s0 = self.s0[:, None]                                    # (n_ds, 1)
+        if self.method == "pallas":
+            # Fused VMEM-resident RK4 kernel (ops/mm_pallas.py). Returns ll
+            # only; predictions fall back to the jnp path when requested.
+            from smc_tpu.ops.mm_pallas import mm_loglik_pallas
+            dt = float(np.asarray(self.ts)[1] - np.asarray(self.ts)[0])
+            ll = mm_loglik_pallas(theta, self.obs, self.s0, dt,
+                                  substeps=self.substeps,
+                                  interpret=jax.default_backend() == "cpu")
+            return ll, None
         if self.method == "exact":
             Km_safe = jnp.maximum(Km, 1e-8)
             logz = (jnp.log(s0 / Km_safe)[None]

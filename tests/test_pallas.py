@@ -1,0 +1,52 @@
+"""Pallas kernel tests (interpret mode on the CPU test platform)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smc_tpu.models.michaelis_menten import MichaelisMentenModel
+from smc_tpu.ops.mm_pallas import mm_loglik_pallas
+
+
+def test_mm_pallas_matches_jnp_rk4():
+    model = MichaelisMentenModel.default(method="rk4")
+    # Stable-regime particles (Km not tiny): fixed-step RK4 in fp32 is
+    # chaotic for stiff (Vmax large, Km ~ 0) draws, where the two
+    # implementations legitimately diverge (and both get rejected by SMC).
+    rng = np.random.default_rng(0)
+    theta = np.column_stack([
+        rng.uniform(0.3, 5.0, 256),
+        rng.uniform(0.3, 5.0, 256),
+        rng.uniform(0.05, 5.0, 256),
+    ]).astype(np.float32)
+    theta = jnp.asarray(theta)
+    ll_ref, _ = model.log_likelihood(theta)
+    dt = float(np.asarray(model.ts)[1] - np.asarray(model.ts)[0])
+    ll_pl = mm_loglik_pallas(theta, model.obs, model.s0, dt, block=256,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(ll_pl), np.asarray(ll_ref),
+                               rtol=2e-4, atol=0.05)
+
+
+def test_mm_pallas_padding_and_sigma_guard():
+    model = MichaelisMentenModel.default(method="rk4")
+    dt = float(np.asarray(model.ts)[1] - np.asarray(model.ts)[0])
+    theta = jnp.asarray([[1.2, 0.5, 0.02],
+                         [1.2, 0.5, -1.0],
+                         [1.2, 0.5, 0.0]], jnp.float32)
+    # N=3 not a multiple of the block: exercises the pad-and-slice path.
+    ll = np.asarray(mm_loglik_pallas(theta, model.obs, model.s0, dt,
+                                     block=256, interpret=True))
+    assert ll.shape == (3,)
+    assert np.isfinite(ll[0])
+    assert ll[1] == -np.inf and ll[2] == -np.inf
+
+
+def test_mm_model_pallas_method():
+    m = MichaelisMentenModel.default(method="pallas")
+    theta = jnp.asarray([[1.2, 0.5, 0.02], [2.0, 1.0, 0.05]], jnp.float32)
+    ll, preds = m.log_likelihood(theta)
+    m_rk = MichaelisMentenModel.default(method="rk4")
+    ll_rk, _ = m_rk.log_likelihood(theta)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_rk), rtol=1e-4,
+                               atol=0.05)
+    assert preds is None
