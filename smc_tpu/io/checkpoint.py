@@ -16,16 +16,35 @@ import numpy as np
 from smc_tpu.smc.state import SMCState
 
 
-def save_state(path: str, state: SMCState) -> None:
+def _flatten(state: SMCState) -> dict:
     flat = {f.name: np.asarray(getattr(state, f.name))
             for f in dataclasses.fields(state)
             if f.name != "key"}
     flat["key"] = np.asarray(jax.random.key_data(state.key))
-    np.savez(path, **flat)
+    return flat
+
+
+def _unflatten(d: dict) -> SMCState:
+    kw = {k: jnp.asarray(np.asarray(v)) for k, v in d.items() if k != "key"}
+    kw["key"] = jax.random.wrap_key_data(jnp.asarray(np.asarray(d["key"])))
+    return SMCState(**kw)
+
+
+def save_state(path: str, state: SMCState) -> None:
+    """Synchronous .npz checkpoint."""
+    np.savez(path, **_flatten(state))
+
+
+def save_state_async(checkpointer, path: str, state: SMCState) -> None:
+    """Queue a checkpoint on the native async writer (.smck container;
+    smc_tpu/runtime). The driver thread pays only a host copy."""
+    checkpointer.submit(path, _flatten(state))
 
 
 def load_state(path: str) -> SMCState:
-    z = np.load(path if str(path).endswith(".npz") else path + ".npz")
-    kw = {k: jnp.asarray(z[k]) for k in z.files if k != "key"}
-    kw["key"] = jax.random.wrap_key_data(jnp.asarray(z["key"]))
-    return SMCState(**kw)
+    path = str(path)
+    if path.endswith(".smck"):
+        from smc_tpu.runtime import load_snapshot
+        return _unflatten(load_snapshot(path))
+    z = np.load(path if path.endswith(".npz") else path + ".npz")
+    return _unflatten({k: z[k] for k in z.files})

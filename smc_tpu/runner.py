@@ -28,7 +28,8 @@ class RunManager:
     def __init__(self, rundir: RunDir, model, cfg: SMCConfig,
                  true_values: Optional[Sequence[float]] = None,
                  plots_enabled: bool = True,
-                 checkpoint_every: int = 1):
+                 checkpoint_every: int = 1,
+                 async_io: bool = True):
         self.rd = rundir
         self.model = model
         self.cfg = cfg
@@ -36,6 +37,20 @@ class RunManager:
         self.plots_enabled = plots_enabled
         self.checkpoint_every = max(1, checkpoint_every)
         self.prior_particles = None
+        self._ckpt = None
+        if async_io:
+            from smc_tpu.runtime import AsyncCheckpointer
+            ck = AsyncCheckpointer()
+            self._ckpt = ck if ck.is_native else None
+
+    def _save_ckpt(self, state, name: str):
+        from smc_tpu.io.checkpoint import save_state, save_state_async
+        if self._ckpt is not None:
+            save_state_async(self._ckpt,
+                             self.rd.file("checkpoints", name + ".smck"),
+                             state)
+        else:
+            save_state(self.rd.file("checkpoints", name + ".npz"), state)
 
     def on_init(self, state):
         self.prior_particles = np.asarray(state.particles)
@@ -52,7 +67,7 @@ class RunManager:
         save_particles_csv(self.rd.file("pred", f"{step}_p_pred.csv"),
                            state.particles)
         if step % self.checkpoint_every == 0:
-            save_state(self.rd.file("checkpoints", f"step{step}.npz"), state)
+            self._save_ckpt(state, f"step{step}")
         if self.plots_enabled:
             plots.plot_marginal_histograms(
                 state.particles,
@@ -66,6 +81,8 @@ class RunManager:
                            self.model.param_names)
         save_particles_csv(self.rd.file("pred", "last_p_pred.csv"), p)
         save_state(self.rd.file("checkpoints", "final.npz"), state)
+        if self._ckpt is not None:
+            self._ckpt.close()
         if self.plots_enabled:
             plots.plot_marginal_histograms(
                 p, self.rd.file("SMC_Posterior_Distribution.png"),

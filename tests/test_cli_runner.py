@@ -25,7 +25,9 @@ def test_cli_run_mm_with_artifacts_and_resume(tmp_path, capsys):
     assert os.path.exists(run / "Posterior_Pairplot.png")
     assert os.path.exists(run / "Histgram_compare.png")
     assert os.path.exists(run / "config.json")
-    ck = run / "checkpoints" / "step2.npz"
+    ck = run / "checkpoints" / "step2.smck"
+    if not os.path.exists(ck):  # no native toolchain -> sync .npz fallback
+        ck = run / "checkpoints" / "step2.npz"
     assert os.path.exists(ck)
     rc = main(["resume", "--checkpoint", str(ck), "--model", "mm",
                "--mm-method", "exact", "--particles", "128",
