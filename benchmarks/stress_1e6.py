@@ -1,0 +1,51 @@
+"""Stress config: 10^6-particle Michaelis-Menten tempered SMC on one chip
+(BASELINE.json config 4; on a v5e-16 pod the particle axis shards over the
+mesh via smc_tpu.parallel — this script runs whatever devices are visible).
+
+Prints one JSON line with wall-clock to the ESS-converged posterior and
+weight-update throughput.
+"""
+import json
+import time
+
+import jax
+import numpy as np
+
+from smc_tpu import SMCConfig, run_smc
+from smc_tpu.models.michaelis_menten import MichaelisMentenModel
+from smc_tpu.parallel.mesh import make_mesh, particle_sharding, shard_state
+from smc_tpu.smc.driver import init_state
+
+
+def main(n: int = 1_000_000):
+    model = MichaelisMentenModel.default(method="exact")
+    cfg = SMCConfig(n_particles=n)
+    key = jax.random.key(0)
+
+    n_dev = len(jax.devices())
+    psh = None
+    state = None
+    if n_dev > 1:
+        mesh = make_mesh(n_dev)
+        state = shard_state(init_state(key, model, cfg), mesh)
+        psh = particle_sharding(mesh)
+
+    t0 = time.perf_counter()
+    final = run_smc(model, cfg, key, state=state, psharding=psh,
+                    verbose=False)
+    wall = time.perf_counter() - t0
+    p = np.asarray(final.particles)
+    updates = float(final.total_lik_evals)
+    print(json.dumps({
+        "metric": f"1e6-particle MM SMC wall-clock ({n_dev} device(s))",
+        "value": round(wall, 2),
+        "unit": "s",
+        "steps": int(final.step),
+        "weight_updates_per_s": round(updates / wall, 1),
+        "posterior_mean": [round(float(x), 5) for x in p.mean(0)],
+        "posterior_std": [round(float(x), 6) for x in p.std(0)],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,8 @@ class RunManager:
             from smc_tpu.runtime import AsyncCheckpointer
             ck = AsyncCheckpointer()
             self._ckpt = ck if ck.is_native else None
+        from smc_tpu.utils.metrics import MetricsLogger
+        self.metrics = MetricsLogger(rundir.file("metrics.jsonl"))
 
     def _save_ckpt(self, state, name: str):
         from smc_tpu.io.checkpoint import save_state, save_state_async
@@ -64,6 +66,7 @@ class RunManager:
 
     def __call__(self, state):
         step = int(state.step)
+        self.metrics(state)
         save_particles_csv(self.rd.file("pred", f"{step}_p_pred.csv"),
                            state.particles)
         if step % self.checkpoint_every == 0:
@@ -81,6 +84,7 @@ class RunManager:
                            self.model.param_names)
         save_particles_csv(self.rd.file("pred", "last_p_pred.csv"), p)
         save_state(self.rd.file("checkpoints", "final.npz"), state)
+        self.metrics.close()
         if self._ckpt is not None:
             self._ckpt.close()
         if self.plots_enabled:
