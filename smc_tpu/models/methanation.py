@@ -126,6 +126,55 @@ class Conditions:
     def select(self, idx) -> "Conditions":
         return jax.tree_util.tree_map(lambda x: x[jnp.asarray(idx)], self)
 
+    # -- CSV interchange (C15 equivalent: the reference's information.csv
+    #    loader + unit conversions, methanation_set_conditon.py:137-214;
+    #    that file is absent from the reference repo, so this defines a
+    #    clean documented schema instead of its 30-column positional one) --
+    CSV_HEADER = ("T_jacket_C,T_in_C,P_gauge_MPa,f_h2_sccm,f_co2_sccm,"
+                  "f_ch4_sccm,f_h2o_sccm,f_ar_sccm,void_frac,length_mm")
+
+    @staticmethod
+    def from_csv(path: str, nx: int = 51) -> "Conditions":
+        """Load operating conditions from CSV (header above); performs the
+        same unit conversions as the reference loader: deg-C -> K, total
+        sccm -> inlet velocity at (T, P), gauge MPa -> absolute Pa, per-
+        species flow fractions -> inlet concentrations."""
+        raw = np.genfromtxt(path, delimiter=",", names=True)
+        raw = np.atleast_1d(raw)
+        tj = raw["T_jacket_C"] + 273.0
+        t_in = raw["T_in_C"] + 273.0
+        p_abs = raw["P_gauge_MPa"] * 1e6 + 101325.0
+        flows = np.stack([raw["f_h2_sccm"], raw["f_co2_sccm"],
+                          raw["f_ch4_sccm"], raw["f_h2o_sccm"],
+                          raw["f_ar_sccm"]], axis=1)
+        tot = flows.sum(1)
+        u_in = tot * 1.667e-8 / AREA * (101325.0 * t_in) / (p_abs * 298.0)
+        c_in = (p_abs / (R_GAS * t_in))[:, None] * flows / tot[:, None]
+        dz = (raw["length_mm"] / 1000.0) / (nx - 1)
+        f32 = lambda x: jnp.asarray(x, jnp.float32)
+        return Conditions(C_in=f32(c_in), T_in=f32(t_in), T_jacket=f32(tj),
+                          u_in=f32(u_in), void=f32(raw["void_frac"]),
+                          dz=f32(dz),
+                          P0=f32(c_in.sum(1) * R_GAS * t_in))
+
+    def to_csv(self, path: str, nx: int = 51) -> None:
+        """Inverse of from_csv (recovers the raw operating quantities)."""
+        c = {k: np.asarray(getattr(self, k))
+             for k in ("C_in", "T_in", "T_jacket", "u_in", "void", "dz",
+                       "P0")}
+        p_abs = c["P0"]
+        tot_c = c["C_in"].sum(1)
+        frac = c["C_in"] / tot_c[:, None]
+        tot_sccm = (c["u_in"] * AREA * p_abs * 298.0
+                    / (1.667e-8 * 101325.0 * c["T_in"]))
+        flows = frac * tot_sccm[:, None]
+        rows = np.column_stack([
+            c["T_jacket"] - 273.0, c["T_in"] - 273.0,
+            (p_abs - 101325.0) / 1e6,
+            flows, c["void"], c["dz"] * (nx - 1) * 1000.0])
+        np.savetxt(path, rows, delimiter=",", header=self.CSV_HEADER,
+                   comments="")
+
 
 def make_condition_table(n_conditions: int = 30,
                          nx: int = NX,
@@ -330,14 +379,42 @@ def _rows_bl(Y_m, Y, Y_p, Yd, flags, condv, kin):
     return jnp.where(fl[0] > 0, inlet, jnp.where(fl[2] > 0, outlet, pde))
 
 
-def methanation_prior(est_idx=EST_DEFAULT) -> Prior:
-    """Uniform prior from use_params +- use_params*k on the estimated subset
-    (methanation_set_conditon.py:61-70)."""
+# Gaussian prior coefficients (std = coeff * |parameter|),
+# methanation_set_conditon.py:30; parameters forced uniform in "taylor"
+# mode, :27.
+NORMAL_COEFF = (0.5, 0.5, 0.5, 0.5, 0.3, 0.3, 0.3, 0.3, 0.5)
+UNI_LIST = (0, 1, 2, 3, 8)
+
+
+def methanation_prior(est_idx=EST_DEFAULT, mode: str = "uniform") -> Prior:
+    """Prior over the estimated parameter subset.
+
+    - "uniform" (reference default, normal_pred=False): bounds
+      use_params +- use_params * k (methanation_set_conditon.py:61-70).
+    - "normal" (normal_pred=True): N(base_i, (coeff_i * |base_i|)^2)
+      (SMC_methanation_main.py:150-158).
+    - "taylor" (normal_pred + taylor): parameters in UNI_LIST keep the
+      uniform prior, the rest are Gaussian (methanation_functions.py:107-119
+      — mixed mode; expressed here as one mixed-kind Prior).
+    """
     use = np.asarray(KIN_TRUE + (SIGMA_TRUE,))
     hi = use + use * np.asarray(HIGH_K)
     lo = use - use * np.asarray(LOW_K)
-    idx = list(est_idx)
-    return Prior.uniform(lo[idx], hi[idx])
+    specs = []
+    for i in est_idx:
+        normal = {"dist": "normal", "mu": float(use[i]),
+                  "sigma": float(abs(use[i]) * NORMAL_COEFF[i])}
+        uniform = {"dist": "uniform", "low": float(lo[i]),
+                   "high": float(hi[i])}
+        if mode == "uniform":
+            specs.append(uniform)
+        elif mode == "normal":
+            specs.append(normal)
+        elif mode == "taylor":
+            specs.append(uniform if i in UNI_LIST else normal)
+        else:
+            raise ValueError(f"unknown prior mode {mode!r}")
+    return Prior.from_specs(specs)
 
 
 @dataclasses.dataclass(frozen=True)

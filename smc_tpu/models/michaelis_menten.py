@@ -83,6 +83,30 @@ class MichaelisMentenModel:
     param_names: Tuple[str, ...] = ("Vmax", "Km", "sigma")
 
     @staticmethod
+    def from_csv_dir(path: str, n_ex: int = 6, method: str = "rk4",
+                     substeps: int = 4) -> "MichaelisMentenModel":
+        """Load the reference's dataset layout: ``{path}/mm_pseudo_data_{i}.csv``
+        with columns t,S_true,P_true,P_obs for i in 0..n_ex-1
+        (Micmem_settings.py:103-114). S0 is taken from the first S_true row,
+        exactly as the reference does."""
+        import os
+        ts = None
+        obs, s0 = [], []
+        for i in range(n_ex):
+            arr = np.loadtxt(os.path.join(path, f"mm_pseudo_data_{i}.csv"),
+                             delimiter=",", skiprows=1)
+            if ts is None:
+                ts = arr[:, 0]
+            obs.append(arr[:, 3])
+            s0.append(arr[0, 1])
+        prior = Prior.uniform([0.0, 0.0, 0.0], [10.0, 10.0, 10.0])
+        return MichaelisMentenModel(
+            obs=jnp.asarray(np.stack(obs), jnp.float32),
+            s0=jnp.asarray(s0, jnp.float32),
+            ts=jnp.asarray(ts, jnp.float32),
+            prior=prior, method=method, substeps=substeps)
+
+    @staticmethod
     def default(obs=None, s0=None, ts=None, method="rk4", substeps=4,
                 key=None) -> "MichaelisMentenModel":
         """Model with the reference's default priors/datasets.

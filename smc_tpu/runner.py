@@ -121,16 +121,24 @@ def run_with_artifacts(model, cfg: SMCConfig, key,
     rd.archive_config(cfg, model)
     mgr = RunManager(rd, model, cfg, true_values, plots_enabled)
 
-    if resume_from:
-        state = load_state(resume_from)
-    else:
-        state = init_state(key, model, cfg)
-    mgr.on_init(state)
-
+    # C25 error capture: the reference wraps the whole run in try/except and
+    # prints the traceback (SMC_methanation_main.py:440-449); here the
+    # traceback is also persisted next to the run artifacts.
     t0 = time.perf_counter()
-    state = run_smc(model, cfg, key, callback=mgr, state=state,
-                    verbose=verbose)
-    if verbose:
-        print(f"end_time:{time.perf_counter() - t0}")
-    mgr.finalize(state)
+    try:
+        if resume_from:
+            state = load_state(resume_from)
+        else:
+            state = init_state(key, model, cfg)
+        mgr.on_init(state)
+        state = run_smc(model, cfg, key, callback=mgr, state=state,
+                        verbose=verbose)
+        if verbose:
+            print(f"end_time:{time.perf_counter() - t0}")
+        mgr.finalize(state)
+    except BaseException:
+        import traceback
+        with open(rd.file("error.log"), "a") as f:
+            f.write(traceback.format_exc())
+        raise
     return state, rd

@@ -1,0 +1,88 @@
+"""Component-parity tests: prior modes, CSV loaders, diagnostics, errors."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smc_tpu.models import methanation as M
+from smc_tpu.models.michaelis_menten import MichaelisMentenModel
+from smc_tpu.priors import NORMAL, UNIFORM
+from smc_tpu.smc.diagnostics import (normalized_ess,
+                                     unique_ancestor_fraction,
+                                     failed_solve_count)
+
+
+def test_methanation_prior_modes():
+    uni = M.methanation_prior(mode="uniform")
+    assert (np.asarray(uni.kind) == UNIFORM).all()
+    nor = M.methanation_prior(mode="normal")
+    assert (np.asarray(nor.kind) == NORMAL).all()
+    np.testing.assert_allclose(np.asarray(nor.loc)[0], 13.04, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(nor.scale)[0], 0.5 * 13.04,
+                               rtol=1e-6)
+    # taylor: est subset (0,1,2,3,8) is entirely in UNI_LIST -> all uniform
+    tay = M.methanation_prior(mode="taylor")
+    assert (np.asarray(tay.kind) == UNIFORM).all()
+    # with a non-UNI parameter estimated, taylor mixes kinds
+    tay2 = M.methanation_prior(est_idx=(0, 4, 8), mode="taylor")
+    np.testing.assert_array_equal(np.asarray(tay2.kind),
+                                  [UNIFORM, NORMAL, UNIFORM])
+    with pytest.raises(ValueError):
+        M.methanation_prior(mode="bogus")
+
+
+def test_conditions_csv_roundtrip(tmp_path):
+    cond = M.make_condition_table(6)
+    path = str(tmp_path / "conditions.csv")
+    cond.to_csv(path)
+    back = M.Conditions.from_csv(path)
+    for field in ("C_in", "T_in", "T_jacket", "u_in", "void", "dz", "P0"):
+        np.testing.assert_allclose(np.asarray(getattr(back, field)),
+                                   np.asarray(getattr(cond, field)),
+                                   rtol=2e-5)
+
+
+def test_mm_from_csv_dir(tmp_path):
+    from smc_tpu.cli import main
+    d = str(tmp_path / "data")
+    assert main(["generate-data", "--outdir", d]) == 0
+    m_csv = MichaelisMentenModel.from_csv_dir(d, method="exact")
+    m_gen = MichaelisMentenModel.default(method="exact")
+    np.testing.assert_allclose(np.asarray(m_csv.obs), np.asarray(m_gen.obs),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m_csv.s0), np.asarray(m_gen.s0))
+    theta = jnp.asarray([[1.2, 0.5, 0.02]])
+    ll_a, _ = m_csv.log_likelihood(theta)
+    ll_b, _ = m_gen.log_likelihood(theta)
+    np.testing.assert_allclose(np.asarray(ll_a), np.asarray(ll_b), rtol=1e-4)
+
+
+def test_diagnostics():
+    w = jnp.ones(100) / 100
+    assert float(normalized_ess(w)) == pytest.approx(1.0)
+    anc = jnp.asarray([0, 0, 0, 5, 5, 4], jnp.int32)
+    assert float(unique_ancestor_fraction(anc)) == pytest.approx(3 / 6)
+    flows = jnp.zeros((4, 5, 3)).at[1, :, 2].set(-10000.0).at[3].set(-10000.0)
+    assert int(failed_solve_count(flows)) == 1 + 3
+
+
+def test_runner_error_capture(tmp_path):
+    from smc_tpu.runner import run_with_artifacts
+    from smc_tpu.io.rundir import RunDir
+    from smc_tpu import SMCConfig
+
+    class BrokenModel:
+        param_names = ("x",)
+        from smc_tpu.priors import Prior
+        prior = Prior.uniform([0.0], [1.0])
+
+        def log_likelihood(self, theta):
+            raise RuntimeError("simulated failure")
+
+    rd = RunDir(root=str(tmp_path), tag="broken")
+    with pytest.raises(RuntimeError):
+        run_with_artifacts(BrokenModel(), SMCConfig(n_particles=8),
+                           jax.random.key(0), rundir=rd, verbose=False)
+    import os
+    assert os.path.exists(rd.file("error.log"))
+    assert "simulated failure" in open(rd.file("error.log")).read()
