@@ -34,6 +34,8 @@ def _add_common(p):
     p.add_argument("--device-loop", action="store_true",
                    help="fuse the whole run into one XLA program "
                         "(no per-step artifacts)")
+    p.add_argument("--profile", default=None, metavar="LOGDIR",
+                   help="capture a jax.profiler device trace to LOGDIR")
 
 
 def _build_model(args):
@@ -67,12 +69,24 @@ def _cfg(args):
 
 
 def cmd_run(args):
+    import contextlib
     import jax
     from smc_tpu.io.rundir import RunDir
     from smc_tpu.runner import run_with_artifacts
+    from smc_tpu.utils.metrics import profile_trace
     model, truth = _build_model(args)
     cfg = _cfg(args)
     key = jax.random.key(args.seed)
+    prof = profile_trace(getattr(args, "profile", None))
+    with prof:
+        return _run_inner(args, model, truth, cfg, key)
+
+
+def _run_inner(args, model, truth, cfg, key):
+    import jax
+    import numpy as np  # noqa: F811
+    from smc_tpu.io.rundir import RunDir
+    from smc_tpu.runner import run_with_artifacts
 
     if args.device_loop or args.mesh:
         from smc_tpu.smc.driver import run_smc_on_device, run_smc, init_state
@@ -182,7 +196,8 @@ def main(argv=None):
     pr = sub.add_parser("run", help="run tempered-SMC inference")
     pr.add_argument("--model", default="mm",
                     choices=["mm", "methanation", "banana", "gmm"])
-    pr.add_argument("--mm-method", default="rk4", choices=["rk4", "exact"])
+    pr.add_argument("--mm-method", default="rk4",
+                    choices=["rk4", "dopri5", "exact", "pallas"])
     pr.add_argument("--conditions", type=int, default=30)
     pr.add_argument("--chunk", type=int, default=256)
     _add_common(pr)

@@ -480,6 +480,18 @@ class MethanationModel:
         flows = jnp.where(ok, flows, -10000.0)
         return flows.T
 
+    def simulate_molfractions(self, kin: jnp.ndarray) -> jnp.ndarray:
+        """(5, n_data) outlet mole fractions (the reference's second model
+        output, methanation_set_likelihood.py:220-229; failure -> 0, :250-254).
+        Kept for parity plots / data_mol artifacts; the likelihood itself is
+        on flows, as in the reference."""
+        flows = self.simulate_flows(kin)          # sentinel already applied
+        ok = jnp.all(flows != -10000.0, axis=0, keepdims=True)
+        tot = jnp.sum(jnp.where(ok, flows, 0.0), axis=0, keepdims=True)
+        frac = jnp.where(ok & (tot > 0), flows / jnp.where(tot == 0, 1, tot),
+                         0.0)
+        return frac
+
     def _flows_batch_bl(self, kin_b: jnp.ndarray) -> jnp.ndarray:
         """Batch-last engine: kin_b (Nc, 8) -> flows (Nc, 5, n_data).
 

@@ -154,7 +154,12 @@ class MichaelisMentenModel:
             def f(t, S):                                         # S (n_ds, N)
                 return -Vmax * S / (Km + S)
             S0 = jnp.broadcast_to(s0, (self.s0.shape[0], theta.shape[0]))
-            S = rk4_grid(f, S0, self.ts, substeps=self.substeps)  # (T,n_ds,N)
+            if self.method == "dopri5":
+                from smc_tpu.ops.ode import dopri5_grid
+                S, _ = dopri5_grid(f, S0, self.ts,
+                                   substeps=max(1, self.substeps // 2))
+            else:
+                S = rk4_grid(f, S0, self.ts, substeps=self.substeps)
         P_model = s0[None] - S                                   # (T, n_ds, N)
         resid = self.obs.T[:, :, None] - P_model
         n = self.obs.shape[1]

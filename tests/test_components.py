@@ -86,3 +86,22 @@ def test_runner_error_capture(tmp_path):
     import os
     assert os.path.exists(rd.file("error.log"))
     assert "simulated failure" in open(rd.file("error.log")).read()
+
+def test_mm_dopri5_method():
+    m = MichaelisMentenModel.default(method="dopri5")
+    m_ex = MichaelisMentenModel.default(method="exact")
+    theta = jnp.asarray([[1.2, 0.5, 0.02], [2.0, 1.0, 0.1]], jnp.float32)
+    ll_d, _ = m.log_likelihood(theta)
+    ll_e, _ = m_ex.log_likelihood(theta)
+    np.testing.assert_allclose(np.asarray(ll_d), np.asarray(ll_e), rtol=5e-3,
+                               atol=0.5)
+
+
+def test_methanation_molfractions():
+    m = M.MethanationModel.default(n_conditions=3, nx=15, n_steps=20,
+                                   growth=1.5, engine="blocked")
+    frac = np.asarray(m.simulate_molfractions(
+        jnp.asarray(M.KIN_TRUE, jnp.float32)))
+    assert frac.shape == (5, 3)
+    np.testing.assert_allclose(frac.sum(0), 1.0, rtol=1e-5)
+    assert (frac >= 0).all() and (frac <= 1).all()
