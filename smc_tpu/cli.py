@@ -163,13 +163,27 @@ def cmd_ensemble(args):
 
 
 def cmd_generate_data(args):
-    """C16 parity: write data/mm_pseudo_data_{i}.csv with columns
-    t,S_true,P_true,P_obs (Micmen_generate_data.py:31-66)."""
+    """C16/C17 parity: MM pseudo-data CSVs (Micmen_generate_data.py:31-66)
+    or methanation data.csv/data_mol.csv/conditions.csv
+    (SMC_methanation_main.py:86-107)."""
     import os
     import jax
     from smc_tpu.models.michaelis_menten import (generate_mm_pseudo_data,
                                                  MM_S0_LIST)
     os.makedirs(args.outdir, exist_ok=True)
+    if getattr(args, "model", "mm") == "methanation":
+        import jax.numpy as jnp
+        from smc_tpu.models.methanation import MethanationModel, KIN_TRUE
+        m = MethanationModel.default(n_conditions=args.conditions,
+                                     key=jax.random.key(args.seed))
+        np.savetxt(os.path.join(args.outdir, "data.csv"),
+                   np.asarray(m.obs), delimiter=",")
+        frac = m.simulate_molfractions(jnp.asarray(KIN_TRUE, jnp.float32))
+        np.savetxt(os.path.join(args.outdir, "data_mol.csv"),
+                   np.asarray(frac), delimiter=",")
+        m.cond.to_csv(os.path.join(args.outdir, "conditions.csv"), nx=m.nx)
+        print(f"wrote data.csv, data_mol.csv, conditions.csv to {args.outdir}")
+        return 0
     ts, obs, s0 = generate_mm_pseudo_data(key=jax.random.key(args.seed)
                                           if args.seed else None)
     for i in range(len(MM_S0_LIST)):
@@ -219,7 +233,10 @@ def main(argv=None):
     _add_common(pe)
     pe.set_defaults(fn=cmd_ensemble)
 
-    pg = sub.add_parser("generate-data", help="write MM pseudo-data CSVs")
+    pg = sub.add_parser("generate-data",
+                        help="write pseudo-data CSVs (mm or methanation)")
+    pg.add_argument("--model", default="mm", choices=["mm", "methanation"])
+    pg.add_argument("--conditions", type=int, default=30)
     pg.add_argument("--outdir", default="data")
     pg.add_argument("--seed", type=int, default=0)
     pg.set_defaults(fn=cmd_generate_data)

@@ -105,3 +105,27 @@ def test_methanation_molfractions():
     assert frac.shape == (5, 3)
     np.testing.assert_allclose(frac.sum(0), 1.0, rtol=1e-5)
     assert (frac >= 0).all() and (frac <= 1).all()
+
+
+def test_memory_report_no_crash():
+    from smc_tpu.utils.memory import device_memory_report, hbm_utilization
+    r = device_memory_report()
+    assert isinstance(r, list)
+    u = hbm_utilization()
+    assert u is None or 0 <= u <= 1.5
+
+
+def test_cli_generate_methanation_data(tmp_path):
+    from smc_tpu.cli import main
+    d = str(tmp_path / "md")
+    rc = main(["generate-data", "--model", "methanation",
+               "--conditions", "3", "--outdir", d])
+    assert rc == 0
+    import os
+    data = np.loadtxt(os.path.join(d, "data.csv"), delimiter=",")
+    mol = np.loadtxt(os.path.join(d, "data_mol.csv"), delimiter=",")
+    assert data.shape == (5, 3) and mol.shape == (5, 3)
+    np.testing.assert_allclose(mol.sum(0), 1.0, rtol=1e-5)
+    from smc_tpu.models.methanation import Conditions
+    c = Conditions.from_csv(os.path.join(d, "conditions.csv"))
+    assert c.n_data == 3
