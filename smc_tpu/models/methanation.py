@@ -430,17 +430,20 @@ class MethanationModel:
     base_params: Tuple[float, ...] = KIN_TRUE + (SIGMA_TRUE,)
     nx: int = NX
     t_final: float = 75.0
-    n_steps: int = 40
-    # 2 Newton iterations per BDF2 step reproduce the 3-iteration flows to
-    # ~1e-4 sccm (observation noise sigma_true = 5); pivoting in the 7x7
-    # block elimination is off by default - at physical states the blocks
-    # are diagonally dominant (verified bitwise-identical), and a rare
-    # breakdown at extreme kinetic draws yields inf/nan that the -10000
-    # failure sentinel converts to a rejected particle, exactly like a
-    # SUNDIALS failure in the reference.
+    # Solver defaults picked from an accuracy/cost sweep against a
+    # 120-step/6-Newton reference at both the true and posterior-edge
+    # kinetics: 48 BDF2 steps (growth 1.28) x 2 Newton keep outlet-flow
+    # errors <= ~1 sccm (obs noise sigma_true = 5) at ~60% of the cost of
+    # the conservative 40x3 schedule. Pivoting in the 7x7 block elimination
+    # is off by default - at physical states the blocks are diagonally
+    # dominant (verified bitwise-identical), and a rare breakdown at
+    # extreme kinetic draws yields inf/nan that the -10000 failure sentinel
+    # converts to a rejected particle, exactly like a SUNDIALS failure in
+    # the reference.
+    n_steps: int = 48
     newton_iters: int = 2
     pivot: bool = False
-    growth: float = 1.35
+    growth: float = 1.28
     # Particles are processed in chunks of (chunk x n_data) simultaneous DAE
     # systems (lax.map over chunks): bounds the live Jacobian working set
     # (4 x 49 x NX x chunk x n_data x 4B) instead of materializing all
