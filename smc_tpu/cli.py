@@ -69,7 +69,6 @@ def _cfg(args):
 
 
 def cmd_run(args):
-    import contextlib
     import jax
     from smc_tpu.io.rundir import RunDir
     from smc_tpu.runner import run_with_artifacts
@@ -184,19 +183,15 @@ def cmd_generate_data(args):
         m.cond.to_csv(os.path.join(args.outdir, "conditions.csv"), nx=m.nx)
         print(f"wrote data.csv, data_mol.csv, conditions.csv to {args.outdir}")
         return 0
-    ts, obs, s0 = generate_mm_pseudo_data(key=jax.random.key(args.seed)
-                                          if args.seed else None)
+    ts, obs, s0, S_true = generate_mm_pseudo_data(
+        key=jax.random.key(args.seed) if args.seed else None,
+        return_truth=True)
     for i in range(len(MM_S0_LIST)):
-        P_obs = obs[i]
-        logz = np.log(s0[i]) - np.log(0.5) + (s0[i] - 1.2 * ts) / 0.5
-        from smc_tpu.ops.lambertw import lambertw
-        import jax.numpy as jnp
-        S_true = 0.5 * np.asarray(lambertw(jnp.exp(jnp.clip(logz, -60, 60))))
-        P_true = s0[i] - S_true
+        P_true = s0[i] - S_true[i]
         path = os.path.join(args.outdir, f"mm_pseudo_data_{i}.csv")
         with open(path, "w") as f:
             f.write("t,S_true,P_true,P_obs\n")
-            for row in zip(ts, S_true, P_true, P_obs):
+            for row in zip(ts, S_true[i], P_true, obs[i]):
                 f.write(",".join(repr(float(v)) for v in row) + "\n")
         print(f"wrote {path}")
     return 0

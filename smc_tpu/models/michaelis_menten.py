@@ -194,7 +194,8 @@ def generate_mm_pseudo_data(Vmax_true: float = MM_TRUE_VMAX,
                             t_span=(0.0, 10.0),
                             num_points: int = 40,
                             key=None,
-                            seed: int = 20250205):
+                            seed: int = 20250205,
+                            return_truth: bool = False):
     """Regenerate the reference's pseudo-datasets (Micmen_generate_data.py:31-66).
 
     The reference writes 5 CSVs with per-file NumPy seeds 20250206..20250210
@@ -217,4 +218,8 @@ def generate_mm_pseudo_data(Vmax_true: float = MM_TRUE_VMAX,
         key = jax.random.key(seed)
     noise = jax.random.normal(key, P_true.shape) * noise_std
     obs = P_true + np.asarray(noise)
-    return ts.astype(np.float32), obs.astype(np.float32), s0.astype(np.float32)
+    out = (ts.astype(np.float32), obs.astype(np.float32),
+           s0.astype(np.float32))
+    if return_truth:
+        return out + (S_true.T.astype(np.float32),)  # (n_ds, T)
+    return out

@@ -80,6 +80,109 @@ def solve7(A: jnp.ndarray, rhs: jnp.ndarray, pivot: bool = True
     return jnp.stack([jnp.stack(X[i]) for i in range(n)])
 
 
+def lu7_nopivot(A: jnp.ndarray) -> jnp.ndarray:
+    """In-place LU factorization without pivoting, A (n, n, B) -> combined
+    LU (unit-lower L below the diagonal, U on/above). Batch on lanes."""
+    n = A.shape[0]
+    M = [[A[i, j] for j in range(n)] for i in range(n)]
+    for c in range(n):
+        inv_p = 1.0 / M[c][c]
+        for r in range(c + 1, n):
+            f = M[r][c] * inv_p
+            M[r][c] = f
+            for j in range(c + 1, n):
+                M[r][j] = M[r][j] - f * M[c][j]
+    return jnp.stack([jnp.stack(M[i]) for i in range(n)])
+
+
+def lu7_solve(LU: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Solve (L U) x = rhs from combined factors. rhs (n, k, B)."""
+    n = LU.shape[0]
+    k = rhs.shape[1]
+    Y = [[rhs[i, j] for j in range(k)] for i in range(n)]
+    for c in range(n):           # forward: L y = rhs (unit diagonal)
+        for r in range(c + 1, n):
+            f = LU[r, c]
+            for j in range(k):
+                Y[r][j] = Y[r][j] - f * Y[c][j]
+    X = [[None] * k for _ in range(n)]
+    for c in range(n - 1, -1, -1):  # backward: U x = y
+        inv_p = 1.0 / LU[c, c]
+        for j in range(k):
+            acc = Y[c][j]
+            for cc in range(c + 1, n):
+                acc = acc - LU[c, cc] * X[cc][j]
+            X[c][j] = acc * inv_p
+    return jnp.stack([jnp.stack(X[i]) for i in range(n)])
+
+
+def lu7_solve_T(LU: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Solve (L U)^T x = rhs, i.e. U^T L^T x = rhs. rhs (n, k, B)."""
+    n = LU.shape[0]
+    k = rhs.shape[1]
+    Y = [[rhs[i, j] for j in range(k)] for i in range(n)]
+    for c in range(n):           # forward: U^T y = rhs (lower tri, diag U)
+        inv_p = 1.0 / LU[c, c]
+        for j in range(k):
+            Y[c][j] = Y[c][j] * inv_p
+        for r in range(c + 1, n):
+            f = LU[c, r]         # U[c, r] sits above the diagonal
+            for j in range(k):
+                Y[r][j] = Y[r][j] - f * Y[c][j]
+    X = [[None] * k for _ in range(n)]
+    for c in range(n - 1, -1, -1):  # backward: L^T x = y (unit diagonal)
+        for j in range(k):
+            acc = Y[c][j]
+            for cc in range(c + 1, n):
+                acc = acc - LU[cc, c] * X[cc][j]
+            X[c][j] = acc
+    return jnp.stack([jnp.stack(X[i]) for i in range(n)])
+
+
+def block_thomas_factor(A, B, C):
+    """Factorization phase of the block-Thomas solve (no pivoting).
+
+    Returns (LUs, ms): per-grid-point LU factors of the Schur-complement
+    diagonal blocks and the elimination multipliers, reusable for any number
+    of right-hand sides (modified-Newton iterations reuse them).
+    """
+    def fwd(LU_prev, inp):
+        Ai, Bi, Ci_prev = inp
+        mT = lu7_solve_T(LU_prev, jnp.swapaxes(Ai, 0, 1))
+        m = jnp.swapaxes(mT, 0, 1)
+        Bp = Bi - _matmul_bl(m, Ci_prev)
+        LU = lu7_nopivot(Bp)
+        return LU, (LU, m)
+
+    LU0 = lu7_nopivot(B[0])
+    _, (LUs, ms) = lax.scan(fwd, LU0, (A[1:], B[1:], C[:-1]))
+    LUs = jnp.concatenate([LU0[None], LUs], axis=0)
+    ms = jnp.concatenate([jnp.zeros_like(LU0)[None], ms], axis=0)
+    return LUs, ms
+
+
+def block_thomas_apply(LUs, ms, C, rhs):
+    """Solve phase with stored factors: one fwd rhs sweep + one back-sub."""
+    def fwd(rp_prev, inp):
+        mi, ri = inp
+        rp = ri - _matvec_bl(mi, rp_prev)
+        return rp, rp
+
+    rp0 = rhs[0]
+    _, rps = lax.scan(fwd, rp0, (ms[1:], rhs[1:]))
+    rps = jnp.concatenate([rp0[None], rps], axis=0)
+
+    xn = lu7_solve(LUs[-1], rps[-1][:, None, :])[:, 0, :]
+
+    def bwd(x_next, inp):
+        LU, rp, Ci = inp
+        x = lu7_solve(LU, (rp - _matvec_bl(Ci, x_next))[:, None, :])[:, 0, :]
+        return x, x
+
+    _, xs = lax.scan(bwd, xn, (LUs[:-1], rps[:-1], C[:-1]), reverse=True)
+    return jnp.concatenate([xs, xn[None]], axis=0)
+
+
 def _matmul_bl(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(n,m,B) @ (m,k,B) -> (n,k,B): contraction over the small middle dim,
     batch broadcast on lanes (fused multiply-reduce, no dot_general)."""
@@ -144,9 +247,13 @@ def bdf_march_bl(rows_bl: Callable,
         y_p = jnp.concatenate([y[:, 1:], y[:, -1:]], axis=1)
         return y_m, y_p
 
-    eye = jnp.eye(nf, dtype=y0.dtype)
+    def residual(y, alpha, const, h):
+        y_m, y_p = shift(y)
+        yd = (alpha * y + const) / h
+        F = rows_bl(y_m, y, y_p, yd)
+        return -jnp.moveaxis(F, 1, 0)             # rhs (NX, 7, B)
 
-    def newton_update(y, alpha, const, h):
+    def build_blocks(y, alpha, const, h):
         y_m, y_p = shift(y)
         yd = (alpha * y + const) / h
 
@@ -174,9 +281,7 @@ def bdf_march_bl(rows_bl: Callable,
         B_ = B_.at[-1].add(C_[-1])
         A_ = A_.at[0].set(0.0)
         C_ = C_.at[-1].set(0.0)
-        rhs = -jnp.moveaxis(F, 1, 0)              # (NX,7,B)
-        delta = block_thomas_bl(A_, B_, C_, rhs, pivot=pivot)  # (NX,7,B)
-        return y + jnp.moveaxis(delta, 0, 1)
+        return A_, B_, C_, -jnp.moveaxis(F, 1, 0)
 
     def step(carry, inp):
         y_n, y_nm1, h_prev = carry
@@ -189,10 +294,32 @@ def bdf_march_bl(rows_bl: Callable,
             alpha = jnp.ones((), y0.dtype)
             const = -y_n
 
-        def one_newton(_, y):
-            return newton_update(y, alpha, const, h)
+        if pivot:
+            # Conservative path: full Newton with pivoted fused Thomas.
+            def one_newton(_, y):
+                A_, B_, C_, rhs = build_blocks(y, alpha, const, h)
+                delta = block_thomas_bl(A_, B_, C_, rhs, pivot=True)
+                return y + jnp.moveaxis(delta, 0, 1)
 
-        y = lax.fori_loop(0, newton_iters, one_newton, y_n)
+            y = lax.fori_loop(0, newton_iters, one_newton, y_n)
+        else:
+            # Modified Newton: build + factorize the block-tridiagonal
+            # Jacobian ONCE per time step (at the BDF predictor y_n) and
+            # reuse the LU factors/multipliers for every iteration — the
+            # standard stiff-integrator economy (IDA reuses J across many
+            # steps); each extra iteration costs one residual + one
+            # fwd/bwd substitution sweep.
+            A_, B_, C_, rhs = build_blocks(y_n, alpha, const, h)
+            LUs, ms = block_thomas_factor(A_, B_, C_)
+            y = y_n + jnp.moveaxis(block_thomas_apply(LUs, ms, C_, rhs),
+                                   0, 1)
+
+            def one_more(_, y):
+                rhs = residual(y, alpha, const, h)
+                delta = block_thomas_apply(LUs, ms, C_, rhs)
+                return y + jnp.moveaxis(delta, 0, 1)
+
+            y = lax.fori_loop(0, newton_iters - 1, one_more, y)
         return (y, y_n, h), None
 
     first = jnp.zeros_like(dts).at[0].set(1.0)

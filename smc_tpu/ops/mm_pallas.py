@@ -30,7 +30,6 @@ def _mm_kernel(vmax_ref, km_ref, sig_ref, s0_ref, obs_ref, ll_ref, *,
     Km = km_ref[:]                # (1, Bt)
     s0 = s0_ref[:]                # (n_ds, 1)
     S = jnp.broadcast_to(s0, (n_ds, Vmax.shape[1]))  # (n_ds, Bt)
-    acc0 = jnp.zeros_like(S[:, :1]) * 0.0
     acc0 = jnp.zeros((n_ds, Vmax.shape[1]), S.dtype)
 
     h = dt / substeps
