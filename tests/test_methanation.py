@@ -76,9 +76,15 @@ def test_block_thomas_bl_matches_dense():
 
 
 def test_engines_agree():
-    """Lanes-major engine == per-system blocked engine (tiny problem)."""
+    """Lanes-major engine == per-system blocked engine (tiny problem).
+
+    pivot=True selects the lanes-major engine's full-Newton path — the same
+    iteration scheme as the blocked oracle, so results must match even on
+    this deliberately under-resolved schedule (the default modified-Newton
+    path is validated separately against a converged reference)."""
     m_bl = M.MethanationModel.default(n_conditions=2, nx=11, n_steps=10,
-                                      growth=1.6, particle_chunk=4)
+                                      growth=1.6, particle_chunk=4,
+                                      pivot=True)
     m_ref = dataclasses.replace(m_bl, engine="blocked")
     theta = jnp.asarray([[13.04, 52.2e3, 1.147e5, 96.7e3, 5.0],
                          [18.0, 54e3, 2e5, 1.0e5, 4.0]], jnp.float32)
