@@ -45,10 +45,17 @@ def _build_model(args):
         m = MichaelisMentenModel.default(method=args.mm_method)
         return m, [MM_TRUE_VMAX, MM_TRUE_KM, MM_TRUE_NOISE]
     if args.model == "methanation":
+        import os
         from smc_tpu.models.methanation import (MethanationModel, KIN_TRUE,
                                                 SIGMA_TRUE)
-        m = MethanationModel.default(n_conditions=args.conditions,
-                                     particle_chunk=args.chunk)
+        if getattr(args, "data_dir", None):
+            m = MethanationModel.from_csv(
+                os.path.join(args.data_dir, "conditions.csv"),
+                os.path.join(args.data_dir, "data.csv"),
+                particle_chunk=args.chunk)
+        else:
+            m = MethanationModel.default(n_conditions=args.conditions,
+                                         particle_chunk=args.chunk)
         truth = list(KIN_TRUE) + [SIGMA_TRUE]
         return m, [truth[i] for i in m.est_idx]
     if args.model == "banana":
@@ -209,6 +216,9 @@ def main(argv=None):
                     choices=["rk4", "dopri5", "exact", "pallas"])
     pr.add_argument("--conditions", type=int, default=30)
     pr.add_argument("--chunk", type=int, default=256)
+    pr.add_argument("--data-dir", default=None,
+                    help="methanation real-data mode: directory holding "
+                         "conditions.csv + data.csv")
     _add_common(pr)
     pr.set_defaults(fn=cmd_run)
 

@@ -573,6 +573,25 @@ class MethanationModel:
 
     # -- construction -------------------------------------------------------
     @staticmethod
+    def from_csv(conditions_csv: str, data_csv: str, est_idx=EST_DEFAULT,
+                 nx: int = NX, prior_mode: str = "uniform", **solver_kw
+                 ) -> "MethanationModel":
+        """Real-data mode (the reference's commented-out branch,
+        SMC_methanation_main.py:61-81): operating conditions from
+        conditions.csv (schema: Conditions.CSV_HEADER) and observed outlet
+        flows from data.csv ((5, n_data), sccm, no header)."""
+        cond = Conditions.from_csv(conditions_csv, nx=nx)
+        obs = np.loadtxt(data_csv, delimiter=",")
+        obs = jnp.asarray(np.atleast_2d(obs), jnp.float32)
+        if obs.shape != (5, cond.n_data):
+            raise ValueError(f"data.csv shape {obs.shape} != (5, "
+                             f"{cond.n_data})")
+        return MethanationModel(
+            cond=cond, obs=obs,
+            prior=methanation_prior(est_idx, mode=prior_mode),
+            est_idx=tuple(est_idx), nx=nx, **solver_kw)
+
+    @staticmethod
     def default(n_conditions: int = 30, est_idx=EST_DEFAULT,
                 key=None, noise: bool = True, nx: int = NX, **solver_kw
                 ) -> "MethanationModel":

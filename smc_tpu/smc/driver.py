@@ -119,6 +119,10 @@ def run_smc(model, cfg: SMCConfig, key: jax.Array,
                    f"New Gamma:{float(state.gamma):.6f}, "
                    f"Number of Adoption:{int(state.accepted)}")
             (logger.info if logger.handlers else print)(msg)
+            if float(state.ess) < cfg.ess_limit:
+                # gamma search exhausted its shrink budget
+                # (SMC_methanation_main.py:239-240)
+                print(f"ess reduction warning: ess = {float(state.ess)}")
         if callback is not None:
             callback(state)
     if float(state.gamma) < 1.0:

@@ -129,3 +129,18 @@ def test_cli_generate_methanation_data(tmp_path):
     from smc_tpu.models.methanation import Conditions
     c = Conditions.from_csv(os.path.join(d, "conditions.csv"))
     assert c.n_data == 3
+
+
+def test_methanation_from_csv_real_data_mode(tmp_path):
+    import os
+    from smc_tpu.cli import main
+    d = str(tmp_path / "md")
+    assert main(["generate-data", "--model", "methanation",
+                 "--conditions", "2", "--outdir", d]) == 0
+    m = M.MethanationModel.from_csv(os.path.join(d, "conditions.csv"),
+                                    os.path.join(d, "data.csv"),
+                                    nx=15, n_steps=20, growth=1.5,
+                                    engine="blocked")
+    theta = jnp.asarray([[13.04, 52.2e3, 1.147e5, 96.7e3, 5.0]], jnp.float32)
+    ll, _ = m.log_likelihood(theta)
+    assert np.isfinite(np.asarray(ll)).all()
