@@ -66,3 +66,17 @@ def test_indivisible_particle_count_raises(model):
     with pytest.raises(ValueError):
         run_smc_sharded(model, SMCConfig(n_particles=500),
                         jax.random.key(0), mesh)
+
+
+def test_large_sharded_fused_run(model):
+    """Scale check for the cross-shard path: 2^15 particles over 8 devices,
+    entire run in one fused program (collectives: pmax/psum reductions,
+    prefix-sum counts, cross-shard resampling gather)."""
+    cfg = SMCConfig(n_particles=32768)
+    mesh = make_mesh()
+    state = run_smc_sharded(model, cfg, jax.random.key(5), mesh,
+                            on_device=True)
+    assert float(state.gamma) == 1.0
+    p = np.asarray(state.particles)
+    assert abs(p[:, 0].mean() - 1.2) < 0.05
+    assert abs(p[:, 1].mean() - 0.5) < 0.05
