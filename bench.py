@@ -46,7 +46,7 @@ def _cpu_baseline_updates_per_sec(n_probe: int = 30) -> float:
 
 def main():
     import jax
-    from smc_tpu import SMCConfig, init_state, make_smc_step
+    from smc_tpu import SMCConfig, run_smc_on_device
     from smc_tpu.models.michaelis_menten import MichaelisMentenModel
 
     n = 100_000
@@ -55,24 +55,26 @@ def main():
     # with no discretization error and no stiffness instability.
     model = MichaelisMentenModel.default(method="exact")
     cfg = SMCConfig(n_particles=n)
-    state = init_state(jax.random.key(0), model, cfg)
-    step_fn = make_smc_step(model, cfg, donate=False)
 
-    # Warm up / compile.
-    s = step_fn(state)
+    # Deployment mode: the ENTIRE tempered-SMC run (init -> gamma=1) is one
+    # fused XLA program; throughput = executed weight updates / wall clock.
+    # Warm-up run compiles; timed runs reuse the executable with new keys.
+    from smc_tpu.smc.driver import make_run_on_device
+    run_fn = make_run_on_device(model, cfg)
+    s = run_smc_on_device(model, cfg, jax.random.key(0), run_fn=run_fn)
     jax.block_until_ready(s.particles)
 
-    # Timed: run jitted SMC steps from the initial state; count likelihood
-    # sweeps actually executed via the state's eval counter.
     t0 = time.perf_counter()
-    s = state
-    reps = 0
-    while time.perf_counter() - t0 < 10.0 and float(s.gamma) < 1.0:
-        s = step_fn(s)
+    updates = 0.0
+    seed = 1
+    while time.perf_counter() - t0 < 10.0:
+        s = run_smc_on_device(model, cfg, jax.random.key(seed),
+                              run_fn=run_fn)
         jax.block_until_ready(s.particles)
-        reps += 1
+        assert float(s.gamma) == 1.0
+        updates += float(s.total_lik_evals)
+        seed += 1
     dt = time.perf_counter() - t0
-    updates = float(s.total_lik_evals) - float(state.total_lik_evals)
     ups = updates / dt
 
     cpu_1core = _cpu_baseline_updates_per_sec()

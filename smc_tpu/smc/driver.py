@@ -131,18 +131,12 @@ def run_smc(model, cfg: SMCConfig, key: jax.Array,
     return state
 
 
-def run_smc_on_device(model, cfg: SMCConfig, key: jax.Array,
-                      state: Optional[SMCState] = None,
-                      psharding=None) -> SMCState:
-    """Entire SMC run as ONE jitted program (outer loop in lax.while_loop).
+def make_run_on_device(model, cfg: SMCConfig, psharding=None):
+    """Build the fused whole-run program: SMCState -> SMCState at gamma=1.
 
-    Loop-exit parity with the reference: the step that raises gamma to 1
-    still executes its (final-threshold) mutation, then the loop stops
-    (Micmem_SMC_main.py:259-261).
+    The returned callable is jitted once; reuse it across repeated runs
+    (different keys/data) to avoid per-call retracing.
     """
-    if state is None:
-        state = init_state(key, model, cfg)
-
     def cond(s: SMCState):
         return (s.step < cfg.max_steps) & (s.gamma < 1.0)
 
@@ -154,4 +148,23 @@ def run_smc_on_device(model, cfg: SMCConfig, key: jax.Array,
     def _run(s):
         return lax.while_loop(cond, body, s)
 
-    return _run(state)
+    return _run
+
+
+def run_smc_on_device(model, cfg: SMCConfig, key: jax.Array,
+                      state: Optional[SMCState] = None,
+                      psharding=None, run_fn=None) -> SMCState:
+    """Entire SMC run as ONE jitted program (outer loop in lax.while_loop).
+
+    Loop-exit parity with the reference: the step that raises gamma to 1
+    still executes its (final-threshold) mutation, then the loop stops
+    (Micmem_SMC_main.py:259-261).
+
+    For repeated runs, build ``run_fn = make_run_on_device(model, cfg)``
+    once and pass it in (a fresh closure here means a retrace per call).
+    """
+    if state is None:
+        state = init_state(key, model, cfg)
+    if run_fn is None:
+        run_fn = make_run_on_device(model, cfg, psharding)
+    return run_fn(state)
