@@ -69,10 +69,21 @@ def find_gamma(log_lik: jnp.ndarray, gamma_old: jnp.ndarray,
     ks = jnp.arange(cfg.gamma_reduction_iters + 1)
     gammas = gamma_old + (gamma0 - gamma_old) * (
         cfg.gamma_reduction_rate ** ks.astype(d_ll.dtype))
-    logw = d_ll[None, :] * (gammas[:, None] - gamma_old)   # (K+1, N)
-    w = jnp.exp(logw)
-    s1 = jnp.sum(w, axis=1)
-    s2 = jnp.sum(w * w, axis=1)
+
+    # Candidate ladder processed in chunks: bounds the (chunk, N) working
+    # set so N = 10^7+ doesn't materialize a multi-GB intermediate.
+    chunk = 16
+    n_cand = gammas.shape[0]
+    pad = (-n_cand) % chunk
+    gammas_p = jnp.pad(gammas, (0, pad)).reshape(-1, chunk)
+
+    def chunk_sums(g_chunk):
+        w = jnp.exp(d_ll[None, :] * (g_chunk[:, None] - gamma_old))
+        return jnp.sum(w, axis=1), jnp.sum(w * w, axis=1)
+
+    s1, s2 = lax.map(chunk_sums, gammas_p)
+    s1 = s1.reshape(-1)[:n_cand]
+    s2 = s2.reshape(-1)[:n_cand]
     ess_all = s1 * s1 / (s2 * n)
     ok = ess_all > cfg.ess_limit
     idx = jnp.where(jnp.any(ok), jnp.argmax(ok), ks[-1])
