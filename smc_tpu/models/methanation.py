@@ -386,6 +386,44 @@ NORMAL_COEFF = (0.5, 0.5, 0.5, 0.5, 0.3, 0.3, 0.3, 0.3, 0.5)
 UNI_LIST = (0, 1, 2, 3, 8)
 
 
+def _analytic_CD_jac(flags, condv):
+    """Closed-form y_p (slot 2) and yd (slot 3) Jacobian blocks of
+    ``_rows_bl`` — these slots appear only linearly (dispersion/conduction
+    stencils and mass terms), so handing them to ``bdf_march_bl`` halves its
+    linearize tangent passes. Cross-checked against the tangent-built blocks
+    in tests/test_methanation.py."""
+    is_inlet, is_first, is_outlet = flags[0], flags[1], flags[2]  # (NX, 1)
+    void, dz, P0 = condv[2], condv[3], condv[4]
+
+    def jac(y_m, y, y_p, yd):
+        nf, nx, bt = y.shape
+        T, T_p, C = y[5], y_p[5], y[:5]
+        pde = (1.0 - is_inlet) * (1.0 - is_outlet)        # (NX, 1)
+        zeros = jnp.zeros((nf, nf, nx, bt), y.dtype)
+
+        disp = pde * void * DZ_DISP / dz ** 2             # (NX, B)
+        Cb = zeros
+        for k in range(5):
+            Cb = Cb.at[k, k].set(disp)
+        Cb = Cb.at[5, 5].set(-disp * P0 / (T_p * T_p))
+        Cb = Cb.at[6, 5].set(pde * KEFF / dz ** 2 * jnp.ones_like(disp))
+
+        mw = jnp.asarray(MOLW, y.dtype)[:, None, None]
+        rho = P0 / (R_GAS * T) * jnp.sum(C * mw, 0) / jnp.sum(C, 0) * 1e-3
+        heatcap = void * rho * CPG + (1 - void) * RHOS * CPS
+        kappa = jnp.where(is_first > 0, 1.0, 0.1)
+
+        Db = zeros
+        for k in range(5):
+            Db = Db.at[k, k].set(is_inlet - pde * void)
+        Db = Db.at[5, 5].set(is_inlet
+                             + pde * is_first * P0 * void / (T * T))
+        Db = Db.at[6, 5].set(pde * (-kappa * heatcap))
+        return {2: Cb, 3: Db}
+
+    return jac
+
+
 def methanation_prior(est_idx=EST_DEFAULT, mode: str = "uniform") -> Prior:
     """Prior over the estimated parameter subset.
 
@@ -517,7 +555,8 @@ class MethanationModel:
             return _rows_bl(y_m, y, y_p, yd, flags, condv, kin_bl)
 
         yf = bdf_march_bl(rows, y0, self._dts(),
-                          newton_iters=self.newton_iters, pivot=self.pivot)
+                          newton_iters=self.newton_iters, pivot=self.pivot,
+                          analytic_jac=_analytic_CD_jac(flags, condv))
         flows = (yf[:5, -1, :] * yf[6, -1, :] * AREA * 60.0 * R_GAS * 298.0
                  / P_STP * 1e6)                            # (5, B)
         flows = flows.reshape(5, n, nc)

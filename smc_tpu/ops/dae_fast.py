@@ -232,13 +232,20 @@ def bdf_march_bl(rows_bl: Callable,
                  dts: jnp.ndarray,
                  newton_iters: int = 3,
                  order: int = 2,
-                 pivot: bool = True) -> jnp.ndarray:
+                 pivot: bool = True,
+                 analytic_jac: Callable = None) -> jnp.ndarray:
     """March F(y, y') = 0 in batch-last layout. y0: (7, NX, B).
 
     rows_bl(y_m, y, y_p, yd) -> (7, NX, B) residual rows, where y_m/y_p are
     the neighbor-shifted states (edge-duplicated; the duplicated boundary
     Jacobian contributions are folded into the diagonal blocks here).
     BDF coefficients as in smc_tpu.ops.dae.implicit_euler_dae.
+
+    analytic_jac(y_m, y, y_p, yd) -> {slot: (7, 7, NX, B)} may supply
+    closed-form Jacobian blocks for any of the four argument slots
+    (0 = y_m, 1 = y, 2 = y_p, 3 = yd); the remaining slots are built with
+    jax.linearize tangent passes (7 per slot), so supplying the cheap
+    sparse slots (typically y_p and yd) halves the Jacobian cost.
     """
     nf, nx, bt = y0.shape
 
@@ -257,21 +264,24 @@ def bdf_march_bl(rows_bl: Callable,
         y_m, y_p = shift(y)
         yd = (alpha * y + const) / h
 
+        given = analytic_jac(y_m, y, y_p, yd) if analytic_jac else {}
+        need_lin = [s for s in range(4) if s not in given]
         F, lin = jax.linearize(rows_bl, y_m, y, y_p, yd)
-        # Jacobian blocks via 28 tangent passes: slot s in {y_m, y, y_p, yd},
-        # field f in 0..6. Each pass gives one block column for all grid
-        # points and all batch lanes simultaneously.
+        # Jacobian blocks: slot s in {y_m, y, y_p, yd} x field f in 0..6 —
+        # one tangent pass per (slot, field) gives a block column for all
+        # grid points and batch lanes simultaneously; analytic slots skip
+        # their 7 passes.
         zeros = jnp.zeros_like(y)
-        blocks = []
-        for s in range(4):
+        blocks = dict(given)
+        for s in need_lin:
             cols = []
             for f in range(nf):
                 tang = [zeros] * 4
                 e = jnp.zeros((nf, 1, 1), y0.dtype).at[f, 0, 0].set(1.0)
                 tang[s] = jnp.broadcast_to(e, y.shape).astype(y0.dtype)
                 cols.append(lin(*tang))          # (7, NX, B)
-            blocks.append(jnp.stack(cols, axis=1))  # (7rows, 7cols, NX, B)
-        A_, B_, C_, D_ = blocks
+            blocks[s] = jnp.stack(cols, axis=1)  # (7rows, 7cols, NX, B)
+        A_, B_, C_, D_ = blocks[0], blocks[1], blocks[2], blocks[3]
         B_ = B_ + D_ * (alpha / h)
         # (7,7,NX,B) -> (NX,7,7,B) for the scan
         to_scan = lambda M: jnp.moveaxis(M, 2, 0)

@@ -168,3 +168,40 @@ def test_methanation_posterior_small():
     assert float(state.gamma) == 1.0
     assert np.isfinite(p).all()
     assert 0.5 < p[:, 4].mean() < 15.0
+
+
+def test_analytic_jacobian_blocks_match_tangents():
+    """The closed-form y_p/yd Jacobian blocks equal the jax.linearize
+    tangent-built ones at a perturbed state (fp32 roundoff)."""
+    import jax as _jax
+    model = M.MethanationModel.default(n_conditions=2, nx=11, n_steps=6,
+                                       growth=1.6)
+    condv = jnp.tile(model._cond_vecs().T, (1, 1))
+    flags = M._grid_flags(11).T[:, :, None]
+    kin = jnp.tile(jnp.asarray(M.KIN_TRUE, jnp.float32)[:, None], (1, 2))
+    y0 = M.initial_guess(model.cond, 11)
+    Y = jnp.moveaxis(y0, 0, -1).transpose(1, 0, 2) * 1.03 + 0.01
+    Yd = Y * 0.001
+    Y_m = jnp.concatenate([Y[:, :1], Y[:, :-1]], axis=1)
+    Y_p = jnp.concatenate([Y[:, 1:], Y[:, -1:]], axis=1)
+
+    def rows(y_m, y, y_p, yd):
+        return M._rows_bl(y_m, y, y_p, yd, flags, condv, kin)
+
+    _, lin = _jax.linearize(rows, Y_m, Y, Y_p, Yd)
+    zeros = jnp.zeros_like(Y)
+
+    def tangent_block(slot):
+        cols = []
+        for f in range(7):
+            tang = [zeros] * 4
+            e = jnp.zeros((7, 1, 1)).at[f, 0, 0].set(1.0)
+            tang[slot] = jnp.broadcast_to(e, Y.shape)
+            cols.append(lin(*tang))
+        return jnp.stack(cols, axis=1)
+
+    got = M._analytic_CD_jac(flags, condv)(Y_m, Y, Y_p, Yd)
+    for slot in (2, 3):
+        ref = np.asarray(tangent_block(slot))
+        scale = np.abs(ref).max() + 1e-9
+        assert np.abs(np.asarray(got[slot]) - ref).max() / scale < 1e-6
