@@ -10,7 +10,8 @@ TPU device mesh instead of Ray tasks over CPU cores.
 from smc_tpu.config import SMCConfig
 from smc_tpu.priors import Prior
 from smc_tpu.smc.state import SMCState
-from smc_tpu.smc.driver import init_state, make_smc_step, run_smc, run_smc_on_device
+from smc_tpu.smc.driver import (init_state, make_smc_step, make_run_on_device,
+                                run_smc, run_smc_on_device)
 from smc_tpu.smc.kernels import (
     find_gamma,
     residual_systematic_resample,

@@ -57,6 +57,9 @@ class SMCConfig:
     accept_threshold_min: float = 0.1
     mh_ratio_decay: float = 0.5
     max_steps: int = 50
+    # Resampling scheme: "residual_systematic" (the reference's Algorithm 2)
+    # or the "systematic" / "stratified" / "multinomial" variants.
+    resampling: str = "residual_systematic"
     dtype: Any = jnp.float32
 
     def cov_weight(self, d: int) -> jnp.ndarray:

@@ -44,26 +44,6 @@ MM_TRUE_NOISE = 0.02
 MM_S0_LIST = (2.0, 0.1, 0.25, 0.5, 1.0, 2.0)
 
 
-def _simulate_rk4(Vmax, Km, S0, ts, substeps):
-    """S(t) on grid for a vector of initial conditions S0 (n_ds,)."""
-    def f(t, S):
-        return -Vmax * S / (Km + S)
-    return rk4_grid(f, S0, ts, substeps=substeps)  # (T, n_ds)
-
-
-def _simulate_exact(Vmax, Km, S0, ts):
-    """Closed-form S(t) = Km * W((S0/Km) exp((S0 - Vmax t)/Km))."""
-    Km = jnp.maximum(Km, 1e-8)
-    # log z = log(S0/Km) + (S0 - Vmax t)/Km, computed in log space to avoid
-    # overflow of exp() for small Km.
-    logz = jnp.log(S0 / Km)[None, :] + (S0[None, :] - Vmax * ts[:, None]) / Km
-    # W(e^x): for large x use asymptotic-safe iteration on w*e^w = e^x
-    # via lambertw of clipped z plus a correction; here logz stays modest
-    # (S0<=2, Vmax,Km in (0,10]) except tiny Km, which the clip handles.
-    z = jnp.exp(jnp.clip(logz, -60.0, 60.0))
-    return Km * lambertw(z)
-
-
 @dataclasses.dataclass(frozen=True)
 class MichaelisMentenModel:
     """Batched MM log-likelihood over 6 (or n) datasets.
@@ -79,8 +59,16 @@ class MichaelisMentenModel:
     prior: Prior
     method: str = "rk4"
     substeps: int = 4
+    # est_sigma=False fixes sigma to sigma_fixed and estimates only
+    # (Vmax, Km) — the reference's est_sigma flag
+    # (Micmem_settings.py:53, Micmem_likelihood.py:47-50).
+    est_sigma: bool = True
+    sigma_fixed: float = MM_TRUE_NOISE
 
-    param_names: Tuple[str, ...] = ("Vmax", "Km", "sigma")
+    @property
+    def param_names(self) -> Tuple[str, ...]:
+        return (("Vmax", "Km", "sigma") if self.est_sigma
+                else ("Vmax", "Km"))
 
     @staticmethod
     def from_csv_dir(path: str, n_ex: int = 6, method: str = "rk4",
@@ -108,7 +96,7 @@ class MichaelisMentenModel:
 
     @staticmethod
     def default(obs=None, s0=None, ts=None, method="rk4", substeps=4,
-                key=None) -> "MichaelisMentenModel":
+                key=None, est_sigma: bool = True) -> "MichaelisMentenModel":
         """Model with the reference's default priors/datasets.
 
         If obs is None, regenerates the 6 pseudo-datasets on device
@@ -117,9 +105,11 @@ class MichaelisMentenModel:
         if obs is None:
             ts_np, obs_np, s0_np = generate_mm_pseudo_data(key=key)
             ts, obs, s0 = jnp.asarray(ts_np), jnp.asarray(obs_np), jnp.asarray(s0_np)
-        prior = Prior.uniform([0.0, 0.0, 0.0], [10.0, 10.0, 10.0])
+        d = 3 if est_sigma else 2
+        prior = Prior.uniform([0.0] * d, [10.0] * d)
         return MichaelisMentenModel(obs=obs, s0=s0, ts=ts, prior=prior,
-                                    method=method, substeps=substeps)
+                                    method=method, substeps=substeps,
+                                    est_sigma=est_sigma)
 
     def _loglik_one(self, theta: jnp.ndarray):
         ll, pred = self.log_likelihood(theta[None])
@@ -132,14 +122,19 @@ class MichaelisMentenModel:
         integrator state is one (n_ds, N) array (no per-particle vmap), so
         every RK stage / Lambert-W iteration is a full-width elementwise op.
         """
-        Vmax, Km, sigma = theta[:, 0], theta[:, 1], theta[:, 2]  # (N,)
+        Vmax, Km = theta[:, 0], theta[:, 1]                      # (N,)
+        sigma = (theta[:, 2] if self.est_sigma
+                 else jnp.full_like(Vmax, self.sigma_fixed))
         s0 = self.s0[:, None]                                    # (n_ds, 1)
         if self.method == "pallas":
             # Fused VMEM-resident RK4 kernel (ops/mm_pallas.py). Returns ll
             # only; predictions fall back to the jnp path when requested.
             from smc_tpu.ops.mm_pallas import mm_loglik_pallas
             dt = float(np.asarray(self.ts)[1] - np.asarray(self.ts)[0])
-            ll = mm_loglik_pallas(theta, self.obs, self.s0, dt,
+            theta3 = theta if self.est_sigma else jnp.concatenate(
+                [theta, jnp.full((theta.shape[0], 1), self.sigma_fixed,
+                                 theta.dtype)], axis=1)
+            ll = mm_loglik_pallas(theta3, self.obs, self.s0, dt,
                                   substeps=self.substeps,
                                   interpret=jax.default_backend() == "cpu")
             return ll, None

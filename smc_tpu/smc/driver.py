@@ -71,7 +71,8 @@ def smc_step(state: SMCState, loglik_fn: LogLikFn, prior: Prior,
         return jax.lax.with_sharding_constraint(x, psharding)
 
     g = find_gamma(state.log_lik, state.gamma, cfg)
-    ancestors = residual_systematic_resample(k_res, g.weights)
+    ancestors = residual_systematic_resample(k_res, g.weights,
+                                             scheme=cfg.resampling)
     parts = pin(jnp.take(state.particles, ancestors, axis=0))
     lk = pin(jnp.take(state.log_lik, ancestors, axis=0))
 

@@ -149,10 +149,67 @@ def counts_to_ancestors(counts: jnp.ndarray) -> jnp.ndarray:
     return jnp.cumsum(hist) - 1
 
 
-def residual_systematic_resample(key: jax.Array, weights: jnp.ndarray
+def systematic_counts(key: jax.Array, weights: jnp.ndarray) -> jnp.ndarray:
+    """Plain systematic resampling: counts = #{k : v0 + k in (N C_{j-1},
+    N C_j]}, one shared uniform draw. (Variant; the reference uses the
+    residual form.)"""
+    n = weights.shape[0]
+    v0 = jax.random.uniform(key, ())
+    csum = jnp.cumsum(weights) * n
+    below = jnp.maximum(jnp.floor(csum - v0) + 1.0, 0.0)
+    counts = jnp.diff(below, prepend=0.0).astype(jnp.int32)
+    diff = n - jnp.sum(counts)
+    counts = counts.at[jnp.argmax(weights)].add(diff)
+    return jnp.maximum(counts, 0)
+
+
+def stratified_counts(key: jax.Array, weights: jnp.ndarray) -> jnp.ndarray:
+    """Stratified resampling: one uniform per output slot within its 1/N
+    stratum. (Variant.)"""
+    n = weights.shape[0]
+    u = (jnp.arange(n) + jax.random.uniform(key, (n,))) / n
+    ends = jnp.cumsum(weights)
+    # counts_j = #{slots with u in (C_{j-1}, C_j]} via the same
+    # scatter-free construction: position of each slot's ancestor.
+    anc = jnp.searchsorted(ends, u, side="left").astype(jnp.int32)
+    anc = jnp.minimum(anc, n - 1)
+    return jnp.zeros(n, jnp.int32).at[anc].add(1)
+
+
+def multinomial_counts(key: jax.Array, weights: jnp.ndarray) -> jnp.ndarray:
+    """Multinomial resampling (iid ancestors). (Variant; highest variance.)"""
+    n = weights.shape[0]
+    u = jax.random.uniform(key, (n,))
+    ends = jnp.cumsum(weights)
+    anc = jnp.minimum(jnp.searchsorted(ends, u, side="left"),
+                      n - 1).astype(jnp.int32)
+    return jnp.zeros(n, jnp.int32).at[anc].add(1)
+
+
+_RESAMPLERS = {
+    "residual_systematic": residual_systematic_counts,
+    "systematic": systematic_counts,
+    "stratified": stratified_counts,
+    "multinomial": multinomial_counts,
+}
+
+
+def resample_counts(key: jax.Array, weights: jnp.ndarray,
+                    scheme: str = "residual_systematic") -> jnp.ndarray:
+    try:
+        fn = _RESAMPLERS[scheme]
+    except KeyError:
+        raise ValueError(f"unknown resampling scheme {scheme!r}; "
+                         f"one of {sorted(_RESAMPLERS)}")
+    return fn(key, weights)
+
+
+def residual_systematic_resample(key: jax.Array, weights: jnp.ndarray,
+                                 scheme: str = "residual_systematic"
                                  ) -> jnp.ndarray:
-    """Ancestor indices (N,) for residual-systematic resampling."""
-    counts = residual_systematic_counts(key, weights)
+    """Ancestor indices (N,) for the chosen resampling scheme (default:
+    the reference's residual-systematic, Algorithm 2)."""
+    counts = resample_counts(key, weights, scheme)
     return counts_to_ancestors(counts)
 
 

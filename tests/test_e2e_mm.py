@@ -52,3 +52,16 @@ def test_rk4_and_exact_likelihoods_agree(model):
     ll_rk4, _ = m_rk4.log_likelihood(theta)
     np.testing.assert_allclose(np.asarray(ll_exact), np.asarray(ll_rk4),
                                rtol=5e-3, atol=0.5)
+
+
+def test_mm_fixed_sigma_mode():
+    """est_sigma=False: 2-parameter estimation with sigma pinned to truth
+    (the reference's est_sigma flag, Micmem_likelihood.py:47-50)."""
+    m = MichaelisMentenModel.default(method="exact", est_sigma=False)
+    assert m.param_names == ("Vmax", "Km")
+    cfg = SMCConfig(n_particles=256)
+    state = run_smc(m, cfg, jax.random.key(2), verbose=False)
+    p = np.asarray(state.particles)
+    assert p.shape[1] == 2
+    assert abs(p[:, 0].mean() - MM_TRUE_VMAX) < 0.1
+    assert abs(p[:, 1].mean() - MM_TRUE_KM) < 0.1

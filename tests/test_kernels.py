@@ -172,3 +172,21 @@ def test_mh_early_stop():
                       loglik, prior, cfg)
     assert int(res.n_steps) == 1
     assert int(res.accepted) > 0.9 * n
+
+
+def test_resampling_variants_unbiased():
+    from smc_tpu.smc.kernels import resample_counts
+    rng = np.random.default_rng(9)
+    n = 64
+    w = rng.dirichlet(np.ones(n))
+    w32 = jnp.asarray(w, jnp.float32)
+    keys = jax.random.split(jax.random.key(3), 400)
+    for scheme in ("residual_systematic", "systematic", "stratified",
+                   "multinomial"):
+        counts = jax.vmap(lambda k: resample_counts(k, w32, scheme))(keys)
+        counts = np.asarray(counts)
+        assert (counts.sum(1) == n).all(), scheme
+        np.testing.assert_allclose(counts.mean(0), n * w, atol=0.25,
+                                   err_msg=scheme)
+    with pytest.raises(ValueError):
+        resample_counts(jax.random.key(0), w32, "bogus")
