@@ -62,6 +62,19 @@ class SMCConfig:
     resampling: str = "residual_systematic"
     dtype: Any = jnp.float32
 
+    def __post_init__(self):
+        if self.n_particles < 2:
+            raise ValueError("n_particles must be >= 2")
+        if not (0.0 < self.ess_limit <= 1.0):
+            raise ValueError("ess_limit must be in (0, 1]")
+        if not (0.0 < self.gamma_reduction_rate < 1.0):
+            raise ValueError("gamma_reduction_rate must be in (0, 1)")
+        if self.mh_steps < 1 or self.mh_steps_final < 1:
+            raise ValueError("mh_steps / mh_steps_final must be >= 1")
+        if self.resampling not in ("residual_systematic", "systematic",
+                                   "stratified", "multinomial"):
+            raise ValueError(f"unknown resampling {self.resampling!r}")
+
     def cov_weight(self, d: int) -> jnp.ndarray:
         """Proposal-covariance elementwise weight matrix.
 

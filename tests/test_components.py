@@ -144,3 +144,16 @@ def test_methanation_from_csv_real_data_mode(tmp_path):
     theta = jnp.asarray([[13.04, 52.2e3, 1.147e5, 96.7e3, 5.0]], jnp.float32)
     ll, _ = m.log_likelihood(theta)
     assert np.isfinite(np.asarray(ll)).all()
+
+
+def test_config_validation():
+    from smc_tpu import SMCConfig
+    with pytest.raises(ValueError):
+        SMCConfig(n_particles=1)
+    with pytest.raises(ValueError):
+        SMCConfig(ess_limit=0.0)
+    with pytest.raises(ValueError):
+        SMCConfig(gamma_reduction_rate=1.0)
+    with pytest.raises(ValueError):
+        SMCConfig(resampling="bogus")
+    SMCConfig()  # defaults valid
