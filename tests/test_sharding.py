@@ -80,3 +80,25 @@ def test_large_sharded_fused_run(model):
     p = np.asarray(state.particles)
     assert abs(p[:, 0].mean() - 1.2) < 0.05
     assert abs(p[:, 1].mean() - 0.5) < 0.05
+
+
+def test_explicit_shard_map_resampler_matches_single_chip():
+    """The hand-scheduled shard_map resampler (explicit all_gather/psum
+    collectives, parallel/resample_shmap.py) reproduces the single-chip
+    kernel bitwise for the same draw, with sharded outputs."""
+    from smc_tpu.parallel.resample_shmap import resample_sharded
+    from smc_tpu.smc.kernels import residual_systematic_resample
+    mesh = make_mesh()
+    n, d = 1024, 3
+    key = jax.random.key(7)
+    w = jax.nn.softmax(jax.random.normal(jax.random.key(1), (n,)) * 2.0)
+    parts = jax.random.normal(jax.random.key(2), (n, d))
+    lk = jax.random.normal(jax.random.key(3), (n,))
+    anc = residual_systematic_resample(key, w)
+    psh = particle_sharding(mesh)
+    out_p, out_l = resample_sharded(
+        key, jax.device_put(w, psh), jax.device_put(parts, psh),
+        jax.device_put(lk, psh), mesh)
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(parts[anc]))
+    np.testing.assert_array_equal(np.asarray(out_l), np.asarray(lk[anc]))
+    assert not out_p.sharding.is_fully_replicated
