@@ -70,28 +70,46 @@ def find_gamma(log_lik: jnp.ndarray, gamma_old: jnp.ndarray,
     gammas = gamma_old + (gamma0 - gamma_old) * (
         cfg.gamma_reduction_rate ** ks.astype(d_ll.dtype))
 
-    # Candidate ladder processed in chunks: bounds the (chunk, N) working
-    # set so N = 10^7+ doesn't materialize a multi-GB intermediate.
+    # Candidate ladder processed in chunks with early exit: bounds the
+    # (chunk, N) working set (no multi-GB intermediate at 10^7+ particles)
+    # and stops at the first chunk containing a passing candidate — the
+    # common case needs only the first chunk or two.
     chunk = 16
     n_cand = gammas.shape[0]
-    pad = (-n_cand) % chunk
-    gammas_p = jnp.pad(gammas, (0, pad)).reshape(-1, chunk)
+    n_chunks = -(-n_cand // chunk)
+    pad = n_chunks * chunk - n_cand
+    # pad with the last (smallest-increment) gamma: duplicates never win
+    # argmax over 'first passing' because the true candidate precedes them.
+    gammas_p = jnp.pad(gammas, (0, pad), mode="edge").reshape(n_chunks,
+                                                              chunk)
 
-    def chunk_sums(g_chunk):
+    def chunk_ess(g_chunk):
         w = jnp.exp(d_ll[None, :] * (g_chunk[:, None] - gamma_old))
-        return jnp.sum(w, axis=1), jnp.sum(w * w, axis=1)
+        s1 = jnp.sum(w, axis=1)
+        s2 = jnp.sum(w * w, axis=1)
+        return s1 * s1 / (s2 * n)
 
-    s1, s2 = lax.map(chunk_sums, gammas_p)
-    s1 = s1.reshape(-1)[:n_cand]
-    s2 = s2.reshape(-1)[:n_cand]
-    ess_all = s1 * s1 / (s2 * n)
-    ok = ess_all > cfg.ess_limit
-    idx = jnp.where(jnp.any(ok), jnp.argmax(ok), ks[-1])
+    def cond(c):
+        i, found_idx, _ = c
+        return (i < n_chunks) & (found_idx < 0)
+
+    def body(c):
+        i, found_idx, last_ess = c
+        ess_c = chunk_ess(gammas_p[i])
+        ok_c = ess_c > cfg.ess_limit
+        local = jnp.argmax(ok_c)
+        found = jnp.where(jnp.any(ok_c), i * chunk + local, -1)
+        return i + 1, found, jnp.where(jnp.any(ok_c), ess_c[local],
+                                       ess_c[-1])
+
+    _, found_idx, ess_sel = lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), jnp.int32(-1),
+                     jnp.zeros((), d_ll.dtype)))
+    idx = jnp.where(found_idx >= 0, found_idx, ks[-1]).astype(jnp.int32)
     gamma = gammas[idx]
     weights = jnp.exp(d_ll * (gamma - gamma_old))
     weights = weights / jnp.sum(weights)
-    return GammaResult(gamma, weights, ess_all[idx], idx.astype(jnp.int32),
-                       max_ll)
+    return GammaResult(gamma, weights, ess_sel, idx, max_ll)
 
 
 # --------------------------------------------------------------------------
