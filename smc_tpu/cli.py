@@ -48,13 +48,21 @@ def _build_model(args):
         import os
         from smc_tpu.models.methanation import (MethanationModel, KIN_TRUE,
                                                 SIGMA_TRUE)
-        if getattr(args, "data_dir", None):
+        datalist = None
+        if getattr(args, "datalist", None):
+            datalist = tuple(int(s) for s in args.datalist.split(","))
+        if getattr(args, "information_csv", None):
+            m = MethanationModel.from_reference_csv(
+                args.information_csv, datalist=datalist,
+                particle_chunk=args.chunk)
+        elif getattr(args, "data_dir", None):
             m = MethanationModel.from_csv(
                 os.path.join(args.data_dir, "conditions.csv"),
                 os.path.join(args.data_dir, "data.csv"),
-                particle_chunk=args.chunk)
+                datalist=datalist, particle_chunk=args.chunk)
         else:
             m = MethanationModel.default(n_conditions=args.conditions,
+                                         datalist=datalist,
                                          particle_chunk=args.chunk)
         truth = list(KIN_TRUE) + [SIGMA_TRUE]
         return m, [truth[i] for i in m.est_idx]
@@ -135,11 +143,15 @@ def cmd_resume(args):
     from smc_tpu.runner import run_with_artifacts
     model, truth = _build_model(args)
     cfg = _cfg(args)
+    mesh = None
+    if args.mesh:
+        from smc_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.mesh)
     final, rd = run_with_artifacts(
         model, cfg, jax.random.key(args.seed),
         rundir=RunDir(root=args.outdir, tag=f"{args.model}_resume"),
         true_values=truth, resume_from=args.checkpoint,
-        plots_enabled=not args.no_plots, verbose=not args.quiet)
+        plots_enabled=not args.no_plots, verbose=not args.quiet, mesh=mesh)
     print(f"gamma: {float(final.gamma)}  steps: {int(final.step)}")
     print(f"artifacts: {rd.path}")
     return 0
@@ -219,6 +231,12 @@ def main(argv=None):
     pr.add_argument("--data-dir", default=None,
                     help="methanation real-data mode: directory holding "
                          "conditions.csv + data.csv")
+    pr.add_argument("--information-csv", default=None,
+                    help="methanation: load a reference-layout "
+                         "information.csv (conditions + observed flows)")
+    pr.add_argument("--datalist", default=None,
+                    help="methanation: comma-separated experiment indices "
+                         "to subset, e.g. 0,2 (the reference's datalist)")
     _add_common(pr)
     pr.set_defaults(fn=cmd_run)
 
@@ -229,6 +247,7 @@ def main(argv=None):
     ps.add_argument("--mm-method", default="rk4", choices=["rk4", "exact"])
     ps.add_argument("--conditions", type=int, default=30)
     ps.add_argument("--chunk", type=int, default=256)
+    ps.add_argument("--datalist", default=None)
     _add_common(ps)
     ps.set_defaults(fn=cmd_resume)
 

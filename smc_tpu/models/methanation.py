@@ -157,6 +157,49 @@ class Conditions:
                           dz=f32(dz),
                           P0=f32(c_in.sum(1) * R_GAS * t_in))
 
+    @staticmethod
+    def from_reference_csv(path: str, datalist=None, nx: int = 51):
+        """Adapter for the reference's 30-column positional
+        ``information.csv`` layout (methanation_set_conditon.py:137-215;
+        the file itself is absent from the reference repo, so this reader is
+        built from the loader's column indices): col 4 reactor length (mm),
+        col 5 T_jacket (degC), col 6 void fraction, col 7 T_in (degC),
+        col 9 total pressure (gauge MPa), cols 10,11,12,14,15 inlet flows
+        H2/CO2/CH4/H2O/Ar (sccm), col 16 total inlet flow, cols
+        17,18,19,21,22 measured outlet flows (sccm), cols 24,25,26,28,29
+        outlet mole fractions. Empty cells are treated as 0 (the loader's
+        ``fillna(0)``).
+
+        ``datalist`` selects experiment rows BY INDEX. (Deviation: the
+        reference computes ``iloc[datalist[0]:datalist[-1]+1]`` — a
+        contiguous slice, silently ignoring the interior of its own
+        datalist; here the listed rows are selected, the evident intent.)
+
+        Returns (Conditions, obs_flows (5, n), obs_molfractions (5, n)).
+        """
+        raw = np.genfromtxt(path, delimiter=",", skip_header=1,
+                            filling_values=0.0)
+        raw = np.atleast_2d(raw)
+        if datalist is not None:
+            raw = raw[np.asarray(datalist)]
+        t_jacket = raw[:, 5] + 273.0
+        t_in = raw[:, 7] + 273.0
+        p_abs = raw[:, 9] * 1e6 + 101325.0
+        flows_in = raw[:, (10, 11, 12, 14, 15)]
+        tot = raw[:, 16]
+        u_in = tot * 1.667e-8 / AREA * (101325.0 * t_in) / (p_abs * 298.0)
+        c_in = (p_abs / (R_GAS * t_in))[:, None] * flows_in \
+            / flows_in.sum(1)[:, None]
+        dz = (raw[:, 4] / 1000.0) / (nx - 1)
+        f32 = lambda x: jnp.asarray(x, jnp.float32)
+        cond = Conditions(C_in=f32(c_in), T_in=f32(t_in),
+                          T_jacket=f32(t_jacket), u_in=f32(u_in),
+                          void=f32(raw[:, 6]), dz=f32(dz),
+                          P0=f32(c_in.sum(1) * R_GAS * t_in))
+        obs_flows = f32(raw[:, (17, 18, 19, 21, 22)].T)
+        obs_molf = f32(raw[:, (24, 25, 26, 28, 29)].T)
+        return cond, obs_flows, obs_molf
+
     def to_csv(self, path: str, nx: int = 51) -> None:
         """Inverse of from_csv (recovers the raw operating quantities)."""
         c = {k: np.asarray(getattr(self, k))
@@ -490,6 +533,14 @@ class MethanationModel:
     # "batch_last": lanes-major engine (ops/dae_fast.py) — the TPU hot path.
     # "blocked": per-system vmap engine (ops/dae.py) — oracle for tests.
     engine: str = "batch_last"
+    # Optional 2-D mesh from parallel.mesh.make_mesh(n, n_data): the
+    # flattened particle x condition lane axis B is pinned to
+    # P(("particles", "data")) — the flattening is particle-major, so the
+    # device grid tiles it as (N/n_p particles) x (n_cond/n_d conditions):
+    # the condition axis (the reference's per-experiment loop,
+    # methanation_functions.py:56) is itself sharded. None = let the SPMD
+    # partitioner decide from the caller's shardings.
+    lane_mesh: object = None
 
     @property
     def param_names(self) -> Tuple[str, ...]:
@@ -550,6 +601,17 @@ class MethanationModel:
         y0 = jnp.moveaxis(y0, 0, -1).transpose(1, 0, 2)    # (7, NX, nc)
         y0 = jnp.tile(y0, (1, 1, n))                       # (7, NX, B)
         flags = _grid_flags(self.nx).T[:, :, None]         # (3, NX, 1)
+
+        if self.lane_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def pin(x):
+                spec = P(*([None] * (x.ndim - 1)
+                           + [("particles", "data")]))
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(self.lane_mesh, spec))
+
+            kin_bl, condv, y0 = pin(kin_bl), pin(condv), pin(y0)
 
         def rows(y_m, y, y_p, yd):
             return _rows_bl(y_m, y, y_p, yd, flags, condv, kin_bl)
@@ -613,32 +675,57 @@ class MethanationModel:
     # -- construction -------------------------------------------------------
     @staticmethod
     def from_csv(conditions_csv: str, data_csv: str, est_idx=EST_DEFAULT,
-                 nx: int = NX, prior_mode: str = "uniform", **solver_kw
-                 ) -> "MethanationModel":
+                 nx: int = NX, prior_mode: str = "uniform", datalist=None,
+                 **solver_kw) -> "MethanationModel":
         """Real-data mode (the reference's commented-out branch,
         SMC_methanation_main.py:61-81): operating conditions from
         conditions.csv (schema: Conditions.CSV_HEADER) and observed outlet
-        flows from data.csv ((5, n_data), sccm, no header)."""
+        flows from data.csv ((5, n_data), sccm, no header). ``datalist``
+        selects an experiment subset by row index (the reference's datalist,
+        methanation_set_conditon.py:45-50)."""
         cond = Conditions.from_csv(conditions_csv, nx=nx)
         obs = np.loadtxt(data_csv, delimiter=",")
         obs = jnp.asarray(np.atleast_2d(obs), jnp.float32)
         if obs.shape != (5, cond.n_data):
             raise ValueError(f"data.csv shape {obs.shape} != (5, "
                              f"{cond.n_data})")
+        if datalist is not None:
+            cond = cond.select(datalist)
+            obs = obs[:, jnp.asarray(datalist)]
         return MethanationModel(
             cond=cond, obs=obs,
             prior=methanation_prior(est_idx, mode=prior_mode),
             est_idx=tuple(est_idx), nx=nx, **solver_kw)
 
     @staticmethod
+    def from_reference_csv(information_csv: str, est_idx=EST_DEFAULT,
+                           nx: int = NX, prior_mode: str = "uniform",
+                           datalist=None, **solver_kw
+                           ) -> "MethanationModel":
+        """Build from a file in the reference's information.csv layout
+        (Conditions.from_reference_csv), using the measured outlet flows in
+        that file as the observations."""
+        cond, obs_flows, _ = Conditions.from_reference_csv(
+            information_csv, datalist=datalist, nx=nx)
+        return MethanationModel(
+            cond=cond, obs=obs_flows,
+            prior=methanation_prior(est_idx, mode=prior_mode),
+            est_idx=tuple(est_idx), nx=nx, **solver_kw)
+
+    @staticmethod
     def default(n_conditions: int = 30, est_idx=EST_DEFAULT,
-                key=None, noise: bool = True, nx: int = NX, **solver_kw
-                ) -> "MethanationModel":
+                key=None, noise: bool = True, nx: int = NX, datalist=None,
+                **solver_kw) -> "MethanationModel":
         """Model over the synthetic condition table with observations
         generated from the true parameters + N(0, sigma_true) noise
         (the reference's artificial-data branch,
-        SMC_methanation_main.py:86-107)."""
+        SMC_methanation_main.py:86-107). ``datalist`` selects a subset of
+        the generated conditions by index — e.g. datalist=(0, 2) reproduces
+        the legacy-variant scale (SMC_methanation_data.py:43)."""
         cond = make_condition_table(n_conditions, nx=nx)
+        if datalist is not None:
+            cond = cond.select(datalist)
+            n_conditions = cond.n_data
         model0 = MethanationModel(
             cond=cond, obs=jnp.zeros((5, n_conditions)), prior=methanation_prior(est_idx),
             est_idx=tuple(est_idx), nx=nx, **solver_kw)

@@ -43,6 +43,13 @@ def make_mesh(n_devices: Optional[int] = None, n_data: int = 1) -> Mesh:
     devs = jax.devices()
     if n_devices is None:
         n_devices = len(devs)
+    if n_devices > len(devs):
+        raise ValueError(
+            f"make_mesh({n_devices}) but only {len(devs)} device(s) exist; "
+            f"for a virtual multi-device CPU mesh set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices} "
+            f"and jax.config.update('jax_platforms', 'cpu') before first "
+            f"device use (see tests/conftest.py)")
     if n_devices % n_data != 0:
         raise ValueError(f"n_devices={n_devices} not divisible by n_data={n_data}")
     arr = np.asarray(devs[:n_devices]).reshape(n_devices // n_data, n_data)

@@ -7,18 +7,24 @@ need overriding and as executable documentation of the distributed
 algorithm:
 
 - one shared uniform draw v0 (same key on every shard);
-- per-shard local inclusive cumsum of residual weights, lifted to the
-  global prefix sum by an exclusive-over-shards offset (psum of masked
-  shard totals — ICI);
-- counts from the same two-floor grid-counting identity as the single-chip
-  kernel, entirely shard-local once offsets are known;
-- slot offsets by the identical exclusive-prefix trick over count totals;
+- the residual prefix sum in EXACT chunked-int32 arithmetic (the same
+  quantization as the single-chip kernel, smc_tpu.smc.kernels._QBITS):
+  per-shard local inclusive cumsums of the residual chunks, lifted to the
+  global prefix sum by exclusive-over-shards integer offsets (all_gather of
+  int32 shard totals — ICI). Integer addition is associative, so the counts
+  are BITWISE identical to the single-chip kernel at any N — no fp32 drift,
+  no 2^24 exactness cliff;
+- the total-count repair applied at the GLOBAL argmax-weight particle
+  (first occurrence), exactly the single-chip kernel's policy;
+- slot offsets by the identical exclusive-prefix trick over int32 count
+  totals (exact up to N < 2^31);
 - the particle exchange as an all_gather of the (small) particle block +
   local gather — the explicit form of the cross-shard gather the XLA path
   emits.
 
-Matches smc_tpu.smc.kernels.residual_systematic_resample + take exactly
-(same draw, same arithmetic; tested in tests/test_sharding.py).
+Matches smc_tpu.smc.kernels.residual_systematic_resample + take bitwise
+(same draw, same integer arithmetic; tested in tests/test_sharding.py at
+n=1024 and tests/test_sharding_large.py at n=2^24, counts only).
 """
 from __future__ import annotations
 
@@ -26,19 +32,73 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from smc_tpu.parallel.mesh import PARTICLE_AXIS
+from smc_tpu.smc.kernels import _grid_from_pieces, _residual_pieces, _QBITS
 
 
 def _exclusive_shard_offset(local_total: jnp.ndarray, axis: str):
-    """Exclusive prefix sum of a per-shard scalar over the mesh axis."""
+    """Exclusive prefix sum of a per-shard scalar over the mesh axis
+    (dtype-preserving: int32 totals stay int32 — exact)."""
     idx = jax.lax.axis_index(axis)
     n_shards = jax.lax.axis_size(axis)
     # all_gather the shard totals (tiny) and mask below our index.
     totals = jax.lax.all_gather(local_total, axis)          # (S,)
-    mask = jnp.arange(n_shards) < idx
-    return jnp.sum(jnp.where(mask, totals, 0.0))
+    zero = jnp.zeros((), totals.dtype)
+    return jnp.sum(jnp.where(jnp.arange(n_shards) < idx, totals, zero))
+
+
+def resample_counts_sharded_fn(n: int, ax: str = PARTICLE_AXIS):
+    """Per-shard body computing residual-systematic offspring counts for a
+    shard-distributed weight vector (global length n). Returns the local
+    counts block; bitwise-equal to the single-chip kernel's counts."""
+
+    def counts_local(key, w_l):
+        idx = jax.lax.axis_index(ax)
+
+        v0 = jax.random.uniform(key, ())            # same draw on all shards
+        v0q = jnp.floor(v0 * (1 << _QBITS)).astype(jnp.int32)
+
+        scaled = w_l * n
+        det = jnp.floor(scaled)
+        resid = scaled - det
+
+        pieces, cb = _residual_pieces(resid, n)
+        local_csums = [jnp.cumsum(p) for p in pieces]
+        offsets = [_exclusive_shard_offset(c[-1], ax) for c in local_csums]
+        csums = [c + o for c, o in zip(local_csums, offsets)]
+        grid_below = _grid_from_pieces(csums, cb, v0q)
+        # the j-1 of the shard's first element lives on the previous shard —
+        # reconstruct it from the exact integer shard offsets instead of
+        # communicating: it is the grid count at the shard's starting cumsum.
+        start = [jnp.reshape(o, (1,)) for o in offsets]
+        grid_start = _grid_from_pieces(start, cb, v0q)
+        prev = jnp.concatenate([grid_start, grid_below[:-1]])
+        counts = det.astype(jnp.int32) + grid_below - prev
+
+        # repair the quantization remainder so the GLOBAL total is exactly n,
+        # on the global argmax-weight particle (first occurrence) — the
+        # single-chip kernel's policy (kernels.residual_systematic_counts).
+        total = jax.lax.psum(jnp.sum(counts), ax)
+        local_max = jnp.max(w_l)
+        owner = jnp.argmax(jax.lax.all_gather(local_max, ax))
+        fix_here = (idx == owner).astype(jnp.int32)
+        counts = counts.at[jnp.argmax(w_l)].add((n - total) * fix_here)
+        return jnp.maximum(counts, 0)
+
+    return counts_local
+
+
+def resample_counts_sharded(key: jax.Array, weights: jnp.ndarray,
+                            mesh: Mesh) -> jnp.ndarray:
+    """Offspring counts of shard-distributed weights (counts stay sharded).
+    Exposed separately so huge-N tests can validate counts without moving
+    particle payloads."""
+    ax = PARTICLE_AXIS
+    body = resample_counts_sharded_fn(weights.shape[0], ax)
+    return jax.shard_map(body, mesh=mesh, in_specs=(P(), P(ax)),
+                         out_specs=P(ax), check_vma=False)(key, weights)
 
 
 def resample_sharded(key: jax.Array, weights: jnp.ndarray,
@@ -52,6 +112,7 @@ def resample_sharded(key: jax.Array, weights: jnp.ndarray,
     """
     ax = PARTICLE_AXIS
     n = weights.shape[0]
+    counts_local = resample_counts_sharded_fn(n, ax)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -60,38 +121,12 @@ def resample_sharded(key: jax.Array, weights: jnp.ndarray,
         check_vma=False)
     def _inner(key, w_l, parts_l, lk_l):
         n_l = w_l.shape[0]
-        idx = jax.lax.axis_index(ax)
+        counts = counts_local(key, w_l)
 
-        v0 = jax.random.uniform(key, ())            # same draw on all shards
-
-        scaled = w_l * n
-        det = jnp.floor(scaled)
-        resid = scaled - det
-        local_csum = jnp.cumsum(resid)
-        csum = local_csum + _exclusive_shard_offset(local_csum[-1], ax)
-        grid_below = jnp.maximum(jnp.floor(csum - v0) + 1.0, 0.0)
-        # extra_j = grid_below_j - grid_below_{j-1}; the j-1 of a shard's
-        # first element lives on the previous shard — reconstruct it from
-        # the global prefix instead of communicating: it is the count of
-        # grid points below the shard's starting cumsum.
-        start = csum[0] - resid[0]
-        below_start = jnp.maximum(jnp.floor(start - v0) + 1.0, 0.0)
-        prev = jnp.concatenate([below_start[None], grid_below[:-1]])
-        counts = (det + grid_below - prev).astype(jnp.int32)
-
-        # repair fp drift so the GLOBAL total is exactly n (on shard 0's
-        # max-weight slot, mirroring the single-chip kernel's policy).
-        total = jax.lax.psum(jnp.sum(counts), ax)
-        fix_here = (idx == 0).astype(jnp.int32)
-        counts = counts.at[jnp.argmax(w_l)].add((n - total) * fix_here)
-        counts = jnp.maximum(counts, 0)
-
-        # global slot offsets for this shard's particles
+        # global slot offsets for this shard's particles (int32 — exact)
         local_counts_csum = jnp.cumsum(counts)
-        offset = _exclusive_shard_offset(
-            local_counts_csum[-1].astype(jnp.float32), ax)
-        starts = (local_counts_csum - counts
-                  + offset.astype(jnp.int32))              # (n_l,)
+        offset = _exclusive_shard_offset(local_counts_csum[-1], ax)
+        starts = local_counts_csum - counts + offset         # (n_l,)
 
         # Ancestors for the output slots: each count>0 particle marks its
         # start slot; cumsum of marks ranks the run covering every slot

@@ -16,6 +16,7 @@ XLA fuses the whole prior evaluation into the surrounding kernel.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Sequence
 
 import jax
@@ -24,7 +25,9 @@ import jax.numpy as jnp
 UNIFORM = 0
 NORMAL = 1
 
-_LOG2PI = float(jnp.log(2 * jnp.pi))
+# Host constant — importing smc_tpu must NEVER touch a device (a jnp.log
+# here would initialize the default backend as an import side effect).
+_LOG2PI = math.log(2 * math.pi)
 
 
 @jax.tree_util.register_dataclass

@@ -29,6 +29,8 @@ class RunManager:
                  true_values: Optional[Sequence[float]] = None,
                  plots_enabled: bool = True,
                  checkpoint_every: int = 1,
+                 parity_every: int = 1,
+                 parity_subsample: int = 64,
                  async_io: bool = True):
         self.rd = rundir
         self.model = model
@@ -36,6 +38,13 @@ class RunManager:
         self.true_values = true_values
         self.plots_enabled = plots_enabled
         self.checkpoint_every = max(1, checkpoint_every)
+        # Per-step parity plots (the reference draws them DURING the run,
+        # SMC_methanation_main.py:421 -> ParityplotDrawerWhileSMC); predicted
+        # outputs come from one small extra likelihood eval on a particle
+        # subsample (the reference replots from its cached full sweep).
+        self.parity_every = max(1, parity_every)
+        self.parity_subsample = parity_subsample
+        self._pred_fn = None
         self.prior_particles = None
         self._ckpt = None
         if async_io:
@@ -64,6 +73,21 @@ class RunManager:
                 self.rd.file("hist_progress", "00_PriorDistribution.png"),
                 self.model.param_names, self.true_values)
 
+    def _parity_plots(self, state, tag: str) -> None:
+        obs = getattr(self.model, "obs", None)
+        if obs is None:
+            return
+        p = np.asarray(state.particles)
+        n_plot = min(self.parity_subsample, p.shape[0])
+        if self._pred_fn is None:
+            self._pred_fn = jax.jit(
+                lambda th: self.model.log_likelihood(th)[1])
+        preds = self._pred_fn(jax.numpy.asarray(p[:n_plot]))
+        if preds is not None:
+            plots.plot_parity(obs, np.asarray(preds),
+                              self.rd.file("parity_box", f"{tag}.png"),
+                              self.rd.file("parity_mean", f"{tag}.png"))
+
     def __call__(self, state):
         step = int(state.step)
         self.metrics(state)
@@ -77,6 +101,8 @@ class RunManager:
                 self.rd.file("hist_progress",
                              f"step{step:02d}_nMH{int(state.n_mh)}.png"),
                 self.model.param_names, self.true_values)
+            if step % self.parity_every == 0:
+                self._parity_plots(state, f"step{step:02d}")
 
     def finalize(self, state):
         p = np.asarray(state.particles)
@@ -98,16 +124,7 @@ class RunManager:
                     self.prior_particles, p,
                     self.rd.file("Histgram_compare.png"),
                     self.model.param_names, self.true_values)
-            obs = getattr(self.model, "obs", None)
-            if obs is not None:
-                n_plot = min(64, p.shape[0])
-                _, preds = self.model.log_likelihood(
-                    jax.numpy.asarray(p[:n_plot]))
-                if preds is not None:
-                    plots.plot_parity(
-                        obs, np.asarray(preds),
-                        self.rd.file("parity_box", "parity.png"),
-                        self.rd.file("parity_mean", "parity.png"))
+            self._parity_plots(state, "parity")
 
 
 def run_with_artifacts(model, cfg: SMCConfig, key,
@@ -115,11 +132,21 @@ def run_with_artifacts(model, cfg: SMCConfig, key,
                        true_values: Optional[Sequence[float]] = None,
                        resume_from: Optional[str] = None,
                        plots_enabled: bool = True,
-                       verbose: bool = True):
-    """Full orchestrated run; returns (final_state, rundir)."""
+                       verbose: bool = True,
+                       mesh=None):
+    """Full orchestrated run; returns (final_state, rundir).
+
+    ``mesh``: optional jax.sharding.Mesh — the particle axis is sharded over
+    it, including on resume (a loaded checkpoint is re-sharded before the
+    run continues)."""
     rd = rundir or RunDir(tag=type(model).__name__)
     rd.archive_config(cfg, model)
     mgr = RunManager(rd, model, cfg, true_values, plots_enabled)
+
+    psharding = None
+    if mesh is not None:
+        from smc_tpu.parallel.mesh import particle_sharding, shard_state
+        psharding = particle_sharding(mesh)
 
     # C25 error capture: the reference wraps the whole run in try/except and
     # prints the traceback (SMC_methanation_main.py:440-449); here the
@@ -130,9 +157,11 @@ def run_with_artifacts(model, cfg: SMCConfig, key,
             state = load_state(resume_from)
         else:
             state = init_state(key, model, cfg)
+        if mesh is not None:
+            state = shard_state(state, mesh)
         mgr.on_init(state)
         state = run_smc(model, cfg, key, callback=mgr, state=state,
-                        verbose=verbose)
+                        verbose=verbose, psharding=psharding)
         if verbose:
             print(f"end_time:{time.perf_counter() - t0}")
         mgr.finalize(state)

@@ -53,9 +53,38 @@ def init_ensemble(key: jax.Array, prior: Prior, loglik_fn: DataLogLik,
 
 def run_ensemble_on_device(key: jax.Array, prior: Prior,
                            loglik_fn: DataLogLik, data, n_datasets: int,
-                           cfg: SMCConfig) -> SMCState:
-    """All D populations to gamma = 1 in one fused while_loop program."""
+                           cfg: SMCConfig, mesh=None) -> SMCState:
+    """All D populations to gamma = 1 in one fused while_loop program.
+
+    ``mesh``: optional 2-D mesh from ``make_mesh(n_devices, n_data)`` — the
+    dataset axis is sharded over the "data" mesh axis and each population's
+    particle axis over the "particles" axis (the 2-D particlesxdata layout
+    of SURVEY §2's parallelism table). Every population's resampling gather
+    stays within its "particles" sub-ring; per-dataset reductions become
+    psum/pmax over that axis only.
+    """
     states = init_ensemble(key, prior, loglik_fn, data, n_datasets, cfg)
+
+    pin = lambda x: x
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from smc_tpu.parallel.mesh import DATA_AXIS, PARTICLE_AXIS
+
+        def _shard_tree(tree):
+            def place(x):
+                if x.ndim >= 2 and x.shape[1] == cfg.n_particles:
+                    spec = P(DATA_AXIS, PARTICLE_AXIS)
+                elif x.ndim >= 1 and x.shape[0] == n_datasets:
+                    spec = P(DATA_AXIS)
+                else:
+                    spec = P()
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, spec))
+            return jax.tree_util.tree_map(place, tree)
+
+        states = jax.jit(_shard_tree)(states)
+        data = jax.device_put(data, NamedSharding(mesh, P(DATA_AXIS)))
+        pin = _shard_tree
 
     def step_one(state, data_d):
         return smc_step(state, lambda th: loglik_fn(th, data_d), prior, cfg)
@@ -73,7 +102,7 @@ def run_ensemble_on_device(key: jax.Array, prior: Prior,
             mask = done.reshape((-1,) + (1,) * (old.ndim - 1))
             return jnp.where(mask, old, new_)
 
-        return jax.tree_util.tree_map(sel, ss, new)
+        return pin(jax.tree_util.tree_map(sel, ss, new))
 
     @jax.jit
     def _run(ss):

@@ -115,6 +115,61 @@ def find_gamma(log_lik: jnp.ndarray, gamma_old: jnp.ndarray,
 # --------------------------------------------------------------------------
 # Residual-systematic resampling
 # --------------------------------------------------------------------------
+# The residual cumsum is done in EXACT integer arithmetic: residuals are
+# quantized to 2^-QBITS (near-lossless — every fp32 in [0.5, 1) is already a
+# multiple of 2^-24) and split into chunks small enough that an int32 cumsum
+# cannot overflow at the given N. Integer addition is associative, so the
+# counts are bit-identical for ANY summation layout — the sharded
+# (parallel/resample_shmap.py) and single-chip kernels agree bitwise at any
+# particle count, and there is none of the fp32 cumsum drift that would
+# otherwise mis-place O(sqrt(N)) counts at N >~ 2^24.
+_QBITS = 24
+
+
+def _chunk_bits(n: int) -> Tuple[int, int]:
+    """(bits per chunk, number of chunks) such that an int32 cumsum of
+    n chunk values stays below 2^30 — headroom for the v0 bias add."""
+    cb = 30 - max(1, (n - 1).bit_length())
+    cb = max(1, min(cb, _QBITS))
+    return cb, -(-_QBITS // cb)
+
+
+def _residual_pieces(resid: jnp.ndarray, n: int):
+    """Quantize residuals in [0, 1) to integers q = floor(resid * 2^QBITS)
+    (exact fp32 ops) and split q into int32-cumsum-safe chunks."""
+    cb, nchunks = _chunk_bits(n)
+    q = jnp.floor(resid * (1 << _QBITS)).astype(jnp.int32)
+    return [(q >> (i * cb)) & ((1 << cb) - 1) for i in range(nchunks)], cb
+
+
+def _grid_from_pieces(csum_pieces, cb: int, v0q: jnp.ndarray) -> jnp.ndarray:
+    """#grid points {v0 + k, k >= 0} at or below the value encoded by the
+    chunked cumsum: max(floor((value - v0q) / 2^QBITS) + 1, 0), evaluated as
+    (value + 2^QBITS - v0q) >> QBITS in pure int32 ops (carry-normalize the
+    chunks, then collect the bits above QBITS)."""
+    nchunks = len(csum_pieces)
+    bias = (1 << _QBITS) - v0q                       # in [1, 2^QBITS]
+    pieces = list(csum_pieces)
+    for i in range(nchunks):
+        b = bias >> (i * cb)
+        if i < nchunks - 1:
+            b = b & ((1 << cb) - 1)
+        pieces[i] = pieces[i] + b
+    for i in range(nchunks - 1):                     # carry-normalize
+        carry = pieces[i] >> cb
+        pieces[i] = pieces[i] & ((1 << cb) - 1)
+        pieces[i + 1] = pieces[i + 1] + carry
+    t = jnp.zeros_like(pieces[0])
+    for i in range(nchunks):                         # value >> QBITS
+        s = i * cb - _QBITS
+        if s >= 0:
+            t = t + (pieces[i] << s)
+        elif i == nchunks - 1 or s + cb > 0:
+            # the top chunk is unmasked — it carries ALL remaining high bits
+            t = t + (pieces[i] >> (-s))
+    return t
+
+
 def residual_systematic_counts(key: jax.Array, weights: jnp.ndarray,
                                ) -> jnp.ndarray:
     """Per-particle offspring counts of residual-systematic resampling.
@@ -129,21 +184,29 @@ def residual_systematic_counts(key: jax.Array, weights: jnp.ndarray,
     is equivalent (scaled by N) to counting the grid points {v0 + k, k>=0},
     v0 ~ U(0,1), that fall into each interval of the residual-cumsum — an
     inclusive prefix sum followed by two floors. Fully parallel; cross-shard
-    it is a single prefix-sum collective on an (N,) vector.
+    it is a single prefix-sum collective on an (N,) vector. The prefix sum
+    runs in exact chunked-int32 arithmetic (see _QBITS note above), so the
+    result is layout-independent and drift-free at any N.
 
     Returns integer counts (N,) summing exactly to N.
     """
     n = weights.shape[0]
     scaled = weights * n
     det = jnp.floor(scaled)
-    resid = scaled - det          # in [0, 1) per particle
+    resid = scaled - det          # in [0, 1) per particle, exact fp32
     v0 = jax.random.uniform(key, ())  # == N * wrand, wrand ~ U[0, 1/N)
-    csum = jnp.cumsum(resid)
-    grid_below = jnp.maximum(jnp.floor(csum - v0) + 1.0, 0.0)
-    extra = jnp.diff(grid_below, prepend=0.0)
-    counts = (det + extra).astype(jnp.int32)
-    # fp32 cumsum over large N can drop/add one count at the tail; repair on
-    # the max-weight particle so the total is exactly N (branchless).
+    v0q = jnp.floor(v0 * (1 << _QBITS)).astype(jnp.int32)
+
+    pieces, cb = _residual_pieces(resid, n)
+    csum_pieces = [jnp.cumsum(p) for p in pieces]
+    grid_below = _grid_from_pieces(csum_pieces, cb, v0q)
+    zero = [jnp.zeros((1,), jnp.int32)] * len(csum_pieces)
+    grid_start = _grid_from_pieces(zero, cb, v0q)    # grid at cumsum 0
+    prev = jnp.concatenate([grid_start, grid_below[:-1]])
+    counts = det.astype(jnp.int32) + grid_below - prev
+    # Residual quantization (and fp32 error in the weights themselves) can
+    # leave the total one or two off N; repair on the max-weight particle so
+    # the total is exactly N (branchless; deterministic, layout-independent).
     diff = n - jnp.sum(counts)
     fix = jnp.argmax(weights)
     counts = counts.at[fix].add(diff)
@@ -276,7 +339,16 @@ def mh_mutation(key: jax.Array,
     - out-of-support proposals are replaced by the current particle before
       likelihood evaluation (support clip, ``p0`` mask);
     - accept iff exp((lk2-lk1)*gamma) * prior_ratio >= U(0,1), done in log
-      space here (identical decision, overflow-free);
+      space here (overflow-free);
+    - DELIBERATE DEVIATION: the prior-density ratio (lp2 - lp1) is included
+      in the acceptance. The reference omits it (Micmem_SMC_main.py:233 uses
+      only exp((lk2-lk1)*gamma) times the support mask), which is correct
+      for uniform priors (constant density on the support) but targets the
+      wrong invariant distribution for its "normal"/"taylor" prior modes.
+      Here the kernel is the statistically correct tempered-posterior
+      kernel for ANY prior; identical decisions to the reference whenever
+      the prior is uniform. Pinned by
+      tests/test_posterior_parity.py::test_normal_prior_posterior_is_statistically_correct;
     - r_ac tracks "accepted at least once"; early-stop when
       sum(r_ac) > r_th*N; halve mh_ratio when sum(r_ac) < r_min*N.
 

@@ -31,21 +31,31 @@ def mm_loglik_np(theta, obs, s0, ts):
     return ll if np.isfinite(ll) else -np.inf
 
 
-def run_reference_smc(obs, s0, ts, n_particle=256, seed=0,
+def run_reference_smc(obs=None, s0=None, ts=None, n_particle=256, seed=0,
                       prior_low=(0, 0, 0), prior_high=(10, 10, 10),
                       ess_limit=0.5, d_gamma_max=1.0, gm_rate=0.7,
                       gm_iters=80, mh_num=5, mh_num_final=20,
                       r_th=0.5, r_th_f=0.7, r_th_min=0.1,
-                      w_cov_diag=0.5, w_cov_off=0.5, itr_max=50):
-    """The reference driver loop, faithfully sequential."""
+                      w_cov_diag=0.5, w_cov_off=0.5, itr_max=50,
+                      loglik_fn=None):
+    """The reference driver loop, faithfully sequential.
+
+    ``loglik_fn(p) -> (N,)`` may supply any batched log-likelihood (used for
+    the methanation parity test, where both implementations share the same
+    forward model and only the SMC machinery differs); the default is the
+    scipy Lambert-W Michaelis-Menten likelihood on (obs, s0, ts).
+    """
     rng = np.random.RandomState(seed)
     lo, hi = np.asarray(prior_low, float), np.asarray(prior_high, float)
     d = len(lo)
     inv_np = 1.0 / n_particle
 
-    def loglik_all(p):
-        return np.array([mm_loglik_np(p[i], obs, s0, ts)
-                         for i in range(n_particle)])
+    if loglik_fn is None:
+        def loglik_all(p):
+            return np.array([mm_loglik_np(p[i], obs, s0, ts)
+                             for i in range(n_particle)])
+    else:
+        loglik_all = loglik_fn
 
     w_cov = np.full((d, d), w_cov_off)
     np.fill_diagonal(w_cov, w_cov_diag)

@@ -1,0 +1,51 @@
+"""Huge-N exactness of the cross-shard resampler (VERDICT round-1 item 6).
+
+The resampling count arithmetic is exact chunked-int32 (kernels._QBITS), so
+the sharded and single-chip kernels must agree BITWISE past the fp32 cumsum
+cliff at 2^24 — counts only, no particle payload (the payload gather is a
+plain integer take).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smc_tpu.parallel.mesh import make_mesh, particle_sharding
+from smc_tpu.parallel.resample_shmap import resample_counts_sharded
+from smc_tpu.smc.kernels import residual_systematic_counts
+
+
+def test_sharded_counts_bitwise_match_at_2e24():
+    n = 1 << 24                      # 16.7M — past fp32 integer exactness
+    mesh = make_mesh()
+    key = jax.random.key(123)
+    # Skewed weights: heavy particles get multi-counts, most get 0/1.
+    logits = jax.random.normal(jax.random.key(9), (n,), jnp.float32) * 3.0
+    w = jax.nn.softmax(logits)
+
+    counts_single = jax.jit(residual_systematic_counts)(key, w)
+    w_sh = jax.device_put(w, particle_sharding(mesh))
+    counts_sharded = jax.jit(
+        resample_counts_sharded, static_argnums=2)(key, w_sh, mesh)
+
+    assert int(jnp.sum(counts_single)) == n
+    assert int(jnp.sum(counts_sharded)) == n
+    np.testing.assert_array_equal(np.asarray(counts_sharded),
+                                  np.asarray(counts_single))
+
+
+def test_sharded_counts_bitwise_match_offgrid_sizes():
+    """Non-power-of-two N and adversarially uniform weights (every residual
+    identical — maximal carry pressure in the chunked cumsum)."""
+    mesh = make_mesh()
+    for n, wkey in ((8 * 1201, 0), (8 * 999_983 // 8 * 8, 1)):
+        key = jax.random.key(n)
+        w = jnp.full((n,), 1.0 / n, jnp.float32)
+        if wkey:
+            w = jax.nn.softmax(
+                jax.random.normal(jax.random.key(wkey), (n,)) * 5.0)
+        counts_single = residual_systematic_counts(key, w)
+        w_sh = jax.device_put(w, particle_sharding(mesh))
+        counts_sharded = resample_counts_sharded(key, w_sh, mesh)
+        np.testing.assert_array_equal(np.asarray(counts_sharded),
+                                      np.asarray(counts_single))
+        assert int(jnp.sum(counts_sharded)) == n
