@@ -50,10 +50,14 @@ def main():
     from smc_tpu.models.michaelis_menten import MichaelisMentenModel
 
     n = 100_000
-    # "exact" (Lambert-W closed form) is the flagship MM likelihood: it
-    # computes the same integral the reference's scipy RK45 approximates,
-    # with no discretization error and no stiffness instability.
-    model = MichaelisMentenModel.default(method="exact")
+    # "pallas_exact" (fused VMEM-resident Lambert-W kernel,
+    # ops/mm_pallas.py) is the flagship MM likelihood: the same closed-form
+    # integral the reference's scipy RK45 approximates (no discretization
+    # error, no stiffness instability), evaluated with a z-recurrence and a
+    # rational-initializer Halley solve — measured 1.4x the jnp "exact"
+    # path end-to-end on one v5e chip (docs/PARITY.md records the
+    # shootout: pallas_exact 16.98M > exact 12.08M > rk4/pallas-rk4).
+    model = MichaelisMentenModel.default(method="pallas_exact")
     cfg = SMCConfig(n_particles=n)
 
     # Deployment mode: the ENTIRE tempered-SMC run (init -> gamma=1) is one

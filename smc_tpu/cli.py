@@ -225,7 +225,8 @@ def main(argv=None):
     pr.add_argument("--model", default="mm",
                     choices=["mm", "methanation", "banana", "gmm"])
     pr.add_argument("--mm-method", default="rk4",
-                    choices=["rk4", "dopri5", "exact", "pallas"])
+                    choices=["rk4", "dopri5", "exact", "pallas",
+                             "pallas_exact"])
     pr.add_argument("--conditions", type=int, default=30)
     pr.add_argument("--chunk", type=int, default=256)
     pr.add_argument("--data-dir", default=None,

@@ -126,17 +126,25 @@ class MichaelisMentenModel:
         sigma = (theta[:, 2] if self.est_sigma
                  else jnp.full_like(Vmax, self.sigma_fixed))
         s0 = self.s0[:, None]                                    # (n_ds, 1)
-        if self.method == "pallas":
-            # Fused VMEM-resident RK4 kernel (ops/mm_pallas.py). Returns ll
-            # only; predictions fall back to the jnp path when requested.
-            from smc_tpu.ops.mm_pallas import mm_loglik_pallas
+        if self.method in ("pallas", "pallas_exact"):
+            # Fused VMEM-resident kernels (ops/mm_pallas.py): "pallas" = RK4
+            # march, "pallas_exact" = closed-form Lambert-W. Both return ll
+            # only; predictions fall back to the jnp path when requested
+            # (RunManager._parity_plots does this automatically).
+            from smc_tpu.ops.mm_pallas import (mm_loglik_exact_pallas,
+                                               mm_loglik_pallas)
             dt = float(np.asarray(self.ts)[1] - np.asarray(self.ts)[0])
             theta3 = theta if self.est_sigma else jnp.concatenate(
                 [theta, jnp.full((theta.shape[0], 1), self.sigma_fixed,
                                  theta.dtype)], axis=1)
-            ll = mm_loglik_pallas(theta3, self.obs, self.s0, dt,
-                                  substeps=self.substeps,
-                                  interpret=jax.default_backend() == "cpu")
+            interp = jax.default_backend() == "cpu"
+            if self.method == "pallas_exact":
+                ll = mm_loglik_exact_pallas(theta3, self.obs, self.s0, dt,
+                                            interpret=interp)
+            else:
+                ll = mm_loglik_pallas(theta3, self.obs, self.s0, dt,
+                                      substeps=self.substeps,
+                                      interpret=interp)
             return ll, None
         if self.method == "exact":
             Km_safe = jnp.maximum(Km, 1e-8)

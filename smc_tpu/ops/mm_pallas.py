@@ -60,6 +60,127 @@ def _mm_kernel(vmax_ref, km_ref, sig_ref, s0_ref, obs_ref, ll_ref, *,
     ll_ref[:] = jnp.where(bad, -jnp.inf, ll)
 
 
+# Initializer coefficients (fit offline vs scipy.special.lambertw):
+# - [3/3] Pade of W(z)/z on z in [0, e]   (max rel err 3.7e-6)
+# - [3/3] rational of ln(x) on x in [1, 60] (max abs err 2.8e-3), feeding
+#   the asymptotic w0 = x - ln x + ln x / x for z > e.
+# Combined with 2 Halley corrector iterations (cubic convergence) the
+# result is exact to fp32 over logz in [-60, 60] (1.5e-12 in fp64 sim) —
+# and the initializer itself costs ZERO transcendentals.
+_PADE_W = (2.0756442, 0.736134059, 0.0134467679,
+           3.0754228, 2.31554992, 0.353759838)
+_RAT_LN = (-1.90924131, 1.42049899, 0.487393935, 0.00826609657,
+           1.33212944, 0.144640587, 0.00131222542)
+
+
+def _lambertw_fast(z, logz, iters: int = 2):
+    """W(z) given both z and logz = ln z, transcendental-minimal:
+    rational initializer + ``iters`` Halley steps (one exp each)."""
+    a1, a2, a3, b1, b2, b3 = _PADE_W
+    w_small = z * (1.0 + z * (a1 + z * (a2 + z * a3))) \
+        / (1.0 + z * (b1 + z * (b2 + z * b3)))
+    c0, c1, c2, c3, d1, d2, d3 = _RAT_LN
+    x = jnp.clip(logz, 1.0, 60.0)
+    lnx = (c0 + x * (c1 + x * (c2 + x * c3))) \
+        / (1.0 + x * (d1 + x * (d2 + x * d3)))
+    w_big = logz - lnx + lnx / jnp.maximum(logz, 1.0)
+    w = jnp.where(z > jnp.e, w_big, w_small)
+    for _ in range(iters):
+        ew = jnp.exp(w)
+        f = w * ew - z
+        denom = ew * (w + 1.0) - (w + 2.0) * f / (2.0 * w + 2.0)
+        w = w - f / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+    return w
+
+
+def _mm_exact_kernel(vmax_ref, km_ref, sig_ref, s0_ref, obs_ref, ll_ref, *,
+                     n_obs: int, dt: float, n_ds: int, iters: int):
+    """Closed-form MM likelihood, fully VMEM-resident and
+    transcendental-minimal.
+
+    The math is the implicit MM solution the reference approximates with
+    scipy RK45 (Micmem_likelihood.py:24-30):
+    S(t) = Km * W((S0/Km) exp((S0 - Vmax t)/Km)). Because
+    ln z(t) = ln(S0/Km) + (S0 - Vmax t)/Km is LINEAR in t, z marches by one
+    per-particle multiply per grid point (z *= exp(-Vmax dt / Km), the exp
+    hoisted out of the time loop) and logz by one subtract; W costs two
+    Halley exps per point from a rational (zero-transcendental)
+    initializer. Per particle per sweep: ~2 transcendentals per
+    observation point vs ~7 for the materialized jnp path — and zero HBM
+    traffic for intermediates.
+
+    Tail deviation vs the jnp "exact" path: z is clipped to e^+-60 at t=0
+    only (the recurrence then evolves freely) where the jnp path re-clips
+    at every grid point; they differ only for parameter draws with
+    |ln z| > 60 (Km near 0), where both are saturated approximations and
+    the likelihood is astronomically rejected anyway.
+    """
+    Vmax = vmax_ref[:]                       # (1, Bt)
+    Km = jnp.maximum(km_ref[:], 1e-8)
+    s0 = s0_ref[:]                           # (n_ds, 1)
+    obs = obs_ref[:]                         # (n_ds, n_obs)
+    inv_km = 1.0 / Km                        # (1, Bt)
+    bdt = Vmax * dt * inv_km                 # (1, Bt)
+    decay = jnp.exp(-bdt)                    # 1 exp per particle per sweep
+    logz = jnp.log(Km) * (-1.0) + jnp.log(s0) + s0 * inv_km  # (n_ds, Bt)
+    z = jnp.exp(jnp.clip(logz, -60.0, 60.0))
+
+    # t = 0: S = s0 exactly, no solve needed.
+    r0 = jnp.broadcast_to(obs[:, 0:1], (n_ds, Vmax.shape[1]))
+    acc = r0 * r0
+    for i in range(1, n_obs):
+        z = z * decay
+        logz = logz - bdt
+        w = _lambertw_fast(z, logz, iters)
+        r = obs[:, i:i + 1] - (s0 - Km * w)
+        acc = acc + r * r
+
+    sigma = jnp.maximum(sig_ref[:], 1e-12)
+    ll = (-0.5 * n_obs * n_ds * (_LOG2PI + 2.0 * jnp.log(sigma))
+          - jnp.sum(acc, axis=0, keepdims=True) / (2.0 * sigma * sigma))
+    bad = (sig_ref[:] <= 0.0) | ~(ll == ll)
+    ll_ref[:] = jnp.where(bad, -jnp.inf, ll)
+
+
+@functools.partial(jax.jit, static_argnames=("dt", "block", "iters",
+                                             "interpret"))
+def mm_loglik_exact_pallas(theta: jnp.ndarray, obs: jnp.ndarray,
+                           s0: jnp.ndarray, dt: float, block: int = 2048,
+                           iters: int = 2, interpret: bool = False
+                           ) -> jnp.ndarray:
+    """theta (N, 3), obs (n_ds, T), s0 (n_ds,) -> ll (N,). Closed-form MM
+    likelihood as one fused VMEM-resident kernel (see _mm_exact_kernel)."""
+    n = theta.shape[0]
+    n_ds, n_obs = obs.shape
+    block = min(block, n)
+    n_pad = -(-n // block) * block
+    if n_pad != n:
+        pad = jnp.ones((n_pad - n, 3), theta.dtype)
+        theta = jnp.concatenate([theta, pad], axis=0)
+
+    kern = functools.partial(_mm_exact_kernel, n_obs=n_obs, dt=dt,
+                             n_ds=n_ds, iters=iters)
+    grid = (n_pad // block,)
+    lane_spec = pl.BlockSpec((1, block), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    ll = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            lane_spec, lane_spec, lane_spec,
+            pl.BlockSpec((n_ds, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ds, n_obs), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=lane_spec,
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), theta.dtype),
+        interpret=interpret,
+    )(theta[:, 0][None], theta[:, 1][None], theta[:, 2][None],
+      s0[:, None], obs)
+    return ll[0, :n]
+
+
 @functools.partial(jax.jit, static_argnames=("dt", "substeps", "block",
                                              "interpret"))
 def mm_loglik_pallas(theta: jnp.ndarray, obs: jnp.ndarray, s0: jnp.ndarray,

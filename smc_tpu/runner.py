@@ -80,8 +80,14 @@ class RunManager:
         p = np.asarray(state.particles)
         n_plot = min(self.parity_subsample, p.shape[0])
         if self._pred_fn is None:
+            pred_model = self.model
+            # Pallas likelihood variants return ll only; predictions for the
+            # parity plots come from the equivalent jnp path.
+            if getattr(pred_model, "method", "").startswith("pallas"):
+                import dataclasses
+                pred_model = dataclasses.replace(pred_model, method="exact")
             self._pred_fn = jax.jit(
-                lambda th: self.model.log_likelihood(th)[1])
+                lambda th: pred_model.log_likelihood(th)[1])
         preds = self._pred_fn(jax.numpy.asarray(p[:n_plot]))
         if preds is not None:
             plots.plot_parity(obs, np.asarray(preds),

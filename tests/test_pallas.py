@@ -41,6 +41,48 @@ def test_mm_pallas_padding_and_sigma_guard():
     assert ll[1] == -np.inf and ll[2] == -np.inf
 
 
+def test_mm_exact_pallas_matches_jnp_exact():
+    """The fused Lambert-W kernel (z-recurrence + rational-init Halley)
+    matches the materialized jnp closed form away from the |ln z| > 60
+    clip tails (documented deviation in ops/mm_pallas.py)."""
+    from smc_tpu.ops.mm_pallas import mm_loglik_exact_pallas
+    model = MichaelisMentenModel.default(method="exact")
+    rng = np.random.default_rng(3)
+    theta = np.column_stack([
+        rng.uniform(0.05, 8.0, 512),
+        rng.uniform(0.05, 8.0, 512),
+        rng.uniform(0.005, 5.0, 512),
+    ]).astype(np.float32)
+    theta = jnp.asarray(theta)
+    ll_ref, _ = model.log_likelihood(theta)
+    dt = float(np.asarray(model.ts)[1] - np.asarray(model.ts)[0])
+    ll_pl = mm_loglik_exact_pallas(theta, model.obs, model.s0, dt,
+                                   block=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(ll_pl), np.asarray(ll_ref),
+                               rtol=2e-2, atol=0.05)
+    # sigma guard + padding path
+    bad = jnp.asarray([[1.2, 0.5, -1.0], [1.2, 0.5, 0.0], [1.2, 0.5, 0.02]],
+                      jnp.float32)
+    llb = np.asarray(mm_loglik_exact_pallas(bad, model.obs, model.s0, dt,
+                                            block=256, interpret=True))
+    assert llb[0] == -np.inf and llb[1] == -np.inf and np.isfinite(llb[2])
+
+
+def test_lambertw_fast_initializer_accuracy():
+    """The rational (zero-transcendental) initializer + 2 Halley steps is
+    fp32-exact over the kernel's whole logz in [-60, 60] domain."""
+    from scipy.special import lambertw as slw
+    from smc_tpu.ops.mm_pallas import _lambertw_fast
+    logz = np.linspace(-60, 60, 5001)
+    z = np.exp(logz)
+    w = np.asarray(_lambertw_fast(jnp.asarray(z, jnp.float32),
+                                  jnp.asarray(logz, jnp.float32)),
+                   np.float64)
+    ref = slw(z).real
+    rel = np.abs(w - ref) / np.maximum(np.abs(ref), 1e-30)
+    assert rel.max() < 5e-6
+
+
 def test_mm_model_pallas_method():
     m = MichaelisMentenModel.default(method="pallas")
     theta = jnp.asarray([[1.2, 0.5, 0.02], [2.0, 1.0, 0.05]], jnp.float32)
