@@ -228,7 +228,7 @@ def main(argv=None):
                     choices=["rk4", "dopri5", "exact", "pallas",
                              "pallas_exact"])
     pr.add_argument("--conditions", type=int, default=30)
-    pr.add_argument("--chunk", type=int, default=256)
+    pr.add_argument("--chunk", type=int, default=128)
     pr.add_argument("--data-dir", default=None,
                     help="methanation real-data mode: directory holding "
                          "conditions.csv + data.csv")
@@ -247,7 +247,7 @@ def main(argv=None):
                     choices=["mm", "methanation", "banana", "gmm"])
     ps.add_argument("--mm-method", default="rk4", choices=["rk4", "exact"])
     ps.add_argument("--conditions", type=int, default=30)
-    ps.add_argument("--chunk", type=int, default=256)
+    ps.add_argument("--chunk", type=int, default=128)
     ps.add_argument("--datalist", default=None)
     _add_common(ps)
     ps.set_defaults(fn=cmd_resume)

@@ -525,11 +525,33 @@ class MethanationModel:
     newton_iters: int = 2
     pivot: bool = False
     growth: float = 1.28
+    # IDA-style Jacobian lag (ops/dae_fast.bdf_march_bl jac_stride): after
+    # n_dense per-step-factored startup steps, factor the block-Thomas
+    # Jacobian once per jac_stride steps and reuse it (BDF predictor + cj
+    # compensation); the last dense_tail steps factor per step again — the
+    # observable is the final state, and a freshly-factored near-steady
+    # tail pins it regardless of mid-march factor staleness. The lagged
+    # middle of the dt schedule is made piecewise-constant per block
+    # (block sums preserved, so t_final and the step density are
+    # unchanged) — the factored mass coefficient is then exact for every
+    # reuse step except the first of a block. Defaults from a measured
+    # accuracy/cost sweep (benchmarks/sweep_jac_lag.py, one v5e chip):
+    # 4/0/2/4 gives 733 vs 463 particles/s (1.58x) with outlet-flow errors
+    # vs a 96-step dense reference identical to the per-step-factored
+    # engine (max ~0.9 sccm at the true kinetics, ~2.1 sccm over
+    # posterior-bulk draws — the shared discretization error, not the lag).
+    # jac_stride=1 disables the lag.
+    jac_stride: int = 4
+    n_dense: int = 0
+    reuse_iters: int = 2
+    dense_tail: int = 4
     # Particles are processed in chunks of (chunk x n_data) simultaneous DAE
     # systems (lax.map over chunks): bounds the live Jacobian working set
     # (4 x 49 x NX x chunk x n_data x 4B) instead of materializing all
-    # N x n_data systems at once.
-    particle_chunk: int = 256
+    # N x n_data systems at once. 128 measured fastest on one v5e chip
+    # (816 pps vs 765 at 256/1024 — 3840 lanes already saturate the VPU;
+    # bigger chunks only grow the HBM working set).
+    particle_chunk: int = 128
     # "batch_last": lanes-major engine (ops/dae_fast.py) — the TPU hot path.
     # "blocked": per-system vmap engine (ops/dae.py) — oracle for tests.
     engine: str = "batch_last"
@@ -546,9 +568,26 @@ class MethanationModel:
     def param_names(self) -> Tuple[str, ...]:
         return tuple(PARAM_NAMES[i] for i in self.est_idx)
 
+    @property
+    def _n_dense_eff(self) -> int:
+        """Leading per-step-factored steps, rounded up so the lagged middle
+        is an exact number of jac_stride blocks."""
+        k = self.jac_stride
+        n_lag = self.n_steps - self.n_dense - self.dense_tail
+        return self.n_dense + n_lag % k
+
     def _dts(self):
-        return jnp.asarray(geometric_schedule(self.t_final, self.n_steps,
-                                              self.growth))
+        dts = geometric_schedule(self.t_final, self.n_steps, self.growth)
+        if (self.engine == "batch_last" and not self.pivot
+                and self.jac_stride > 1):
+            # Flatten the lagged middle to piecewise-constant h per block.
+            k, nd = self.jac_stride, self._n_dense_eff
+            nl = self.n_steps - self.dense_tail
+            mid = dts[nd:nl].reshape(-1, k)
+            dts = np.concatenate(
+                [dts[:nd], np.repeat(mid.mean(1), k).astype(np.float32),
+                 dts[nl:]])
+        return jnp.asarray(dts)
 
     def _cond_vecs(self):
         c = self.cond
@@ -618,7 +657,11 @@ class MethanationModel:
 
         yf = bdf_march_bl(rows, y0, self._dts(),
                           newton_iters=self.newton_iters, pivot=self.pivot,
-                          analytic_jac=_analytic_CD_jac(flags, condv))
+                          analytic_jac=_analytic_CD_jac(flags, condv),
+                          jac_stride=self.jac_stride,
+                          n_dense=self._n_dense_eff,
+                          reuse_iters=self.reuse_iters,
+                          dense_tail=self.dense_tail)
         flows = (yf[:5, -1, :] * yf[6, -1, :] * AREA * 60.0 * R_GAS * 298.0
                  / P_STP * 1e6)                            # (5, B)
         flows = flows.reshape(5, n, nc)
@@ -661,15 +704,18 @@ class MethanationModel:
             return jax.vmap(self._loglik_one)(theta)
 
         chunk = min(self.particle_chunk, n)
-        if n % chunk != 0:
-            raise ValueError(f"n_particles={n} not divisible by "
-                             f"particle_chunk={chunk}")
         if n == chunk:
             flows = self._flows_batch_bl(kin_b)
         else:
-            kin_c = kin_b.reshape(n // chunk, chunk, 8)
+            # Pad the trailing chunk (repeat the last particle) so any N
+            # works — e.g. the reference's default N=1000 with chunk 128.
+            n_pad = (-n) % chunk
+            kin_p = jnp.concatenate(
+                [kin_b, jnp.tile(kin_b[-1:], (n_pad, 1))]) if n_pad \
+                else kin_b
+            kin_c = kin_p.reshape(-1, chunk, 8)
             flows = jax.lax.map(self._flows_batch_bl, kin_c)
-            flows = flows.reshape(n, 5, -1)
+            flows = flows.reshape(-1, 5, flows.shape[-1])[:n]
         return self._ll_from_flows(flows, sigma), flows
 
     # -- construction -------------------------------------------------------

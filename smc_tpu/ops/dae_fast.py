@@ -233,7 +233,11 @@ def bdf_march_bl(rows_bl: Callable,
                  newton_iters: int = 3,
                  order: int = 2,
                  pivot: bool = True,
-                 analytic_jac: Callable = None) -> jnp.ndarray:
+                 analytic_jac: Callable = None,
+                 jac_stride: int = 1,
+                 n_dense: int = None,
+                 reuse_iters: int = None,
+                 dense_tail: int = 0) -> jnp.ndarray:
     """March F(y, y') = 0 in batch-last layout. y0: (7, NX, B).
 
     rows_bl(y_m, y, y_p, yd) -> (7, NX, B) residual rows, where y_m/y_p are
@@ -246,6 +250,21 @@ def bdf_march_bl(rows_bl: Callable,
     (0 = y_m, 1 = y, 2 = y_p, 3 = yd); the remaining slots are built with
     jax.linearize tangent passes (7 per slot), so supplying the cheap
     sparse slots (typically y_p and yd) halves the Jacobian cost.
+
+    jac_stride > 1 (modified-Newton path only) enables IDA-style Jacobian
+    lag ACROSS time steps — the economy SUNDIALS IDA uses on the reference's
+    DAE (methanation_set_likelihood.py:169: one J factorization serves many
+    BDF steps). After ``n_dense`` leading per-step-factored steps (default:
+    len(dts) % jac_stride), the march proceeds in blocks of ``jac_stride``
+    steps: the Jacobian is built and block-Thomas-factored once at block
+    entry, and the remaining steps of the block solve with the stale
+    factors, each Newton update scaled by IDA's mass-coefficient
+    compensation c = 2 / (1 + cj_step / cj_factored) (exactly 1 when the
+    step size is constant within the block). Reuse steps run
+    ``reuse_iters`` Newton iterations (default newton_iters + 1 — stale
+    factors converge linearly rather than quadratically). The residual is
+    always evaluated with the step's true coefficients, so a converged
+    step is exact regardless of factor staleness.
     """
     nf, nx, bt = y0.shape
 
@@ -293,9 +312,7 @@ def bdf_march_bl(rows_bl: Callable,
         C_ = C_.at[-1].set(0.0)
         return A_, B_, C_, -jnp.moveaxis(F, 1, 0)
 
-    def step(carry, inp):
-        y_n, y_nm1, h_prev = carry
-        h, is_first = inp
+    def coeffs(y_n, y_nm1, h, h_prev, is_first):
         if order == 2:
             r = jnp.where(is_first > 0, 0.0, h / h_prev)
             alpha = (1.0 + 2.0 * r) / (1.0 + r)
@@ -303,6 +320,12 @@ def bdf_march_bl(rows_bl: Callable,
         else:
             alpha = jnp.ones((), y0.dtype)
             const = -y_n
+        return alpha, const
+
+    def step(carry, inp):
+        y_n, y_nm1, h_prev = carry
+        h, is_first = inp
+        alpha, const = coeffs(y_n, y_nm1, h, h_prev, is_first)
 
         if pivot:
             # Conservative path: full Newton with pivoted fused Thomas.
@@ -332,6 +355,74 @@ def bdf_march_bl(rows_bl: Callable,
             y = lax.fori_loop(0, newton_iters - 1, one_more, y)
         return (y, y_n, h), None
 
+    n_steps = dts.shape[0]
     first = jnp.zeros_like(dts).at[0].set(1.0)
-    (y_final, _, _), _ = lax.scan(step, (y0, y0, dts[0]), (dts, first))
-    return y_final
+    carry = (y0, y0, dts[0])
+
+    if pivot or jac_stride <= 1:
+        (y_final, _, _), _ = lax.scan(step, carry, (dts, first))
+        return y_final
+
+    # ---- IDA-style lagged-Jacobian march (modified Newton only) ----------
+    n_lag = n_steps - dense_tail
+    if n_dense is None:
+        n_dense = n_lag % jac_stride
+    if (n_lag - n_dense) % jac_stride != 0:
+        raise ValueError(f"lagged steps {n_lag - n_dense} not divisible by "
+                         f"jac_stride={jac_stride}")
+    if reuse_iters is None:
+        reuse_iters = newton_iters + 1
+    if n_dense:
+        carry, _ = lax.scan(step, carry, (dts[:n_dense], first[:n_dense]))
+    hs_blk = dts[n_dense:n_lag].reshape(-1, jac_stride)
+    first_blk = first[n_dense:n_lag].reshape(-1, jac_stride)
+
+    def apply_(LUs, ms, C_, rhs):
+        return jnp.moveaxis(block_thomas_apply(LUs, ms, C_, rhs), 0, 1)
+
+    def predictor(y_n, y_nm1, h, h_prev, is_first):
+        # IDA-style polynomial predictor: linear extrapolation of the last
+        # two solutions. Cuts the initial Newton residual to O(h^2) — the
+        # stale-factor iterations then start inside their convergence basin.
+        r = jnp.where(is_first > 0, 0.0, h / h_prev)
+        return y_n + r * (y_n - y_nm1)
+
+    def block_step(carry, inp):
+        y_n, y_nm1, h_prev = carry
+        hs, firsts = inp
+        # factor step: build + factor at the predictor, newton_iters updates.
+        h = hs[0]
+        alpha, const = coeffs(y_n, y_nm1, h, h_prev, firsts[0])
+        y0_pred = predictor(y_n, y_nm1, h, h_prev, firsts[0])
+        A_, B_, C_, rhs = build_blocks(y0_pred, alpha, const, h)
+        LUs, ms = block_thomas_factor(A_, B_, C_)
+        cj_f = alpha / h
+        y = y0_pred + apply_(LUs, ms, C_, rhs)
+
+        def one_more(_, y):
+            return y + apply_(LUs, ms, C_, residual(y, alpha, const, h))
+
+        y = lax.fori_loop(0, newton_iters - 1, one_more, y)
+        y_n, y_nm1, h_prev = y, y_n, h
+        # reuse steps: stale factors + cj compensation (statically unrolled;
+        # jac_stride is small).
+        for j in range(1, jac_stride):
+            h = hs[j]
+            alpha, const = coeffs(y_n, y_nm1, h, h_prev, firsts[j])
+            c = 2.0 / (1.0 + (alpha / h) / cj_f)
+            y = predictor(y_n, y_nm1, h, h_prev, firsts[j])
+
+            def one_reuse(_, y, alpha=alpha, const=const, h=h, c=c):
+                return y + c * apply_(LUs, ms, C_,
+                                      residual(y, alpha, const, h))
+
+            y = lax.fori_loop(0, reuse_iters, one_reuse, y)
+            y_n, y_nm1, h_prev = y, y_n, h
+        return (y_n, y_nm1, h_prev), None
+
+    carry, _ = lax.scan(block_step, carry, (hs_blk, first_blk))
+    if dense_tail:
+        # Per-step-factored tail: the observable is the final state, so the
+        # last steps get fresh factors regardless of the lag economy.
+        carry, _ = lax.scan(step, carry, (dts[n_lag:], first[n_lag:]))
+    return carry[0]

@@ -96,6 +96,32 @@ def test_engines_agree():
                                rtol=1e-3, atol=0.05)
 
 
+def test_lagged_jacobian_march_matches_dense():
+    """jac_stride>1 (IDA-style factor reuse + BDF predictor + dense tail,
+    the batch_last default) agrees with per-step factoring to within the
+    discretization error. The lagged march solves the SAME nonlinear BDF
+    equations — only the Newton iteration matrix is stale — so converged
+    flows must coincide up to the (piecewise-constant-h) schedule change.
+    Tolerances calibrated on the flagship sweep (sweep_jac_lag.py): lag-only
+    differences there were <=0.05 sccm on well-conditioned draws."""
+    m_dense = M.MethanationModel.default(
+        n_conditions=3, nx=15, n_steps=20, growth=1.5, particle_chunk=4,
+        jac_stride=1, dense_tail=0)
+    m_lag = dataclasses.replace(m_dense, jac_stride=4, reuse_iters=2,
+                                dense_tail=4)
+    theta = jnp.asarray([[13.04, 52.2e3, 1.147e5, 96.7e3, 5.0],
+                         [15.0, 52.5e3, 1.5e5, 9.7e4, 4.0],
+                         [11.0, 51.9e3, 0.9e5, 9.6e4, 6.0],
+                         [13.0, 52.0e3, 2.0e5, 9.8e4, 5.0]], jnp.float32)
+    _, fl_d = m_dense.log_likelihood(theta)
+    _, fl_l = m_lag.log_likelihood(theta)
+    fl_d, fl_l = np.asarray(fl_d), np.asarray(fl_l)
+    ok = (fl_d > -9999) & (fl_l > -9999)
+    assert ok.mean() > 0.9
+    scale = np.abs(fl_d[ok]).max()
+    assert np.abs(np.where(ok, fl_d - fl_l, 0.0)).max() < 0.02 * scale
+
+
 def test_conservation_laws(small_model):
     """Outlet elemental balances close: carbon (CO2+CH4), hydrogen, argon."""
     kin = jnp.asarray(M.KIN_TRUE, jnp.float32)
