@@ -467,6 +467,155 @@ def _analytic_CD_jac(flags, condv):
     return jac
 
 
+def _analytic_full_jac(flags, condv, kin):
+    """Closed-form Jacobian blocks of ``_rows_bl`` for ALL four argument
+    slots (0 = y_m, 1 = y, 2 = y_p, 3 = yd).
+
+    Supplying every slot removes all 14 jax.linearize tangent passes from
+    the Jacobian build — the dominant cost of a factored BDF step (the
+    reference pays the same cost inside IDA's difference-quotient Jacobian,
+    methanation_set_likelihood.py:169ff). The rate-law partials are shared
+    by the species/total-mass/energy rows, so the whole build is a handful
+    of elementwise expressions per block entry. Every entry is pinned
+    against the tangent-built blocks in
+    tests/test_methanation.py::test_analytic_jacobian_blocks_match_tangents.
+    """
+    is_inlet, is_first, is_outlet = flags[0], flags[1], flags[2]  # (NX, 1)
+    void, dz, P0 = condv[2], condv[3], condv[4]
+
+    def jac(y_m, y, y_p, yd):
+        nf, nx, bt = y.shape
+        pde = (1.0 - is_inlet) * (1.0 - is_outlet)      # (NX, 1)
+        C, T, u = y[:5], y[5], y[6]
+        C_m, T_m, u_m = y_m[:5], y_m[5], y_m[6]
+        T_p = y_p[5]
+        Td = yd[5]
+        invT, invT_m = 1.0 / T, 1.0 / T_m
+        ones = jnp.ones((nx, bt), y.dtype)
+        zrow = jnp.zeros((nx, bt), y.dtype)
+
+        def asm(entries):
+            # One concatenate per block (entries dict (row, col) -> value
+            # broadcastable to (nx, bt)) — chained .at[].set scatters into a
+            # zeros buffer serialize on TPU and measured ~8% slower.
+            return jnp.stack([
+                jnp.stack([jnp.broadcast_to(entries.get((i, j), zrow),
+                                            (nx, bt)).astype(y.dtype)
+                           for j in range(nf)], 0)
+                for i in range(nf)], 0)
+
+        # ---- rate-law partials (shared by rows 0-6) ----------------------
+        RT6 = R_GAS * T * 1e-6
+        PH2, PCO2 = C[0] * RT6, C[1] * RT6
+        PCH4, PH2O = C[2] * RT6, C[3] * RT6
+        kf = kin[0] * jnp.exp(-kin[1] / (R_GAS * T))
+        ks = kin[2] * jnp.exp(-kin[3] / (R_GAS * T))
+        kC = kin[4] * jnp.exp(-kin[5] / (R_GAS * T))
+        kW = kin[6] * jnp.exp(-kin[7] / (R_GAS * T))
+        PH2g = jnp.maximum(0.001, PH2)
+        s = PH2g ** 0.5
+        # jnp.maximum's tangent routes to the 2nd arg on ties (x >= c).
+        guard = (PH2 >= 0.001).astype(y.dtype)
+        a, b = kC * PCO2, kW * PH2O
+        rf = 5075e3 * kf * a * s / (1.0 + a) ** 2
+        rr = 5075e3 * ks * kW * PH2O * PCH4 ** 2 / (1.0 + b) ** 2
+        invRT2 = 1.0 / (R_GAS * T * T)
+        dr_dC = (
+            rf * guard * (0.5 / PH2g) * RT6,                        # H2
+            5075e3 * kf * s * kC * (1.0 - a) / (1.0 + a) ** 3 * RT6,  # CO2
+            -(5075e3 * ks * kW * PH2O * 2.0 * PCH4
+              / (1.0 + b) ** 2) * RT6,                              # CH4
+            -(5075e3 * ks * PCH4 ** 2 * kW * (1.0 - b)
+              / (1.0 + b) ** 3) * RT6,                              # H2O
+        )
+        dlnrf_dT = kin[1] * invRT2 + guard * 0.5 * invT \
+            + (kin[5] * invRT2 + invT) * (1.0 - a) / (1.0 + a)
+        dlnrr_dT = kin[3] * invRT2 + 2.0 * invT \
+            + (kin[7] * invRT2 + invT) * (1.0 - b) / (1.0 + b)
+        dr_dT = rf * dlnrf_dT - rr * dlnrr_dT
+
+        # ---- density / heat-capacity partials (energy row) ---------------
+        mw = jnp.asarray(MOLW, y.dtype)[:, None, None]
+        S0, S1 = jnp.sum(C, 0), jnp.sum(C * mw, 0)
+        rho = P0 * invT / R_GAS * S1 / S0 * 1e-3
+        heatcap = void * rho * CPG + (1 - void) * RHOS * CPS
+        kappa = jnp.where(is_first > 0, 1.0, 0.1)
+        # d(enb)/d(rho) prefactor: accumulation + convection terms.
+        denb_drho = -kappa * void * CPG * Td \
+            - CPG * (T * u - T_m * u_m) / dz
+        drho_dT = -rho * invT
+
+        sc = jnp.asarray(SC, y.dtype)
+        disp = void * DZ_DISP / dz ** 2
+
+        # ---- slot 1: B (d rows / d y) ------------------------------------
+        eB = {}
+        lap_diag = disp * jnp.where(is_first > 0, -1.0, -2.0)
+        for k in range(5):
+            diag = -u / dz + lap_diag
+            if k < 4:
+                diag = diag + (1 - void) * sc[k] * dr_dC[k]
+            eB[(k, k)] = pde * diag + is_outlet * ones
+            for j in range(4):
+                if j != k:
+                    eB[(k, j)] = pde * (1 - void) * sc[k] * dr_dC[j]
+            eB[(k, 5)] = pde * (1 - void) * sc[k] * dr_dT
+            eB[(k, 6)] = pde * (-C[k] / dz)
+        # row 5: total-mass balance (outlet: u - u_m).
+        for j in range(4):
+            eB[(5, j)] = pde * (1 - void) * R_GAS * (-2.0) * dr_dC[j]
+        eB[(5, 5)] = pde * (
+            u * P0 * invT ** 2 / dz
+            + P0 * (u - u_m) * invT ** 2 / dz
+            + 2.0 * disp * P0 * invT ** 2
+            + (1 - void) * R_GAS * (-2.0) * dr_dT
+            - is_first * 2.0 * P0 * void * invT ** 3 * Td)
+        eB[(5, 6)] = (pde * (-P0 * (invT - invT_m) / dz - P0 * invT / dz)
+                      + is_outlet * ones)
+        # row 6: energy balance (outlet: T - T_m; inlet: u - u_in).
+        kappa0 = P0 * invT / R_GAS * 1e-3 / S0
+        for j in range(5):
+            entry = denb_drho * kappa0 * (MOLW[j] - S1 / S0)
+            if j < 4:
+                entry = entry + (1 - void) * (-HR) * dr_dC[j]
+            eB[(6, j)] = pde * entry
+        eB[(6, 5)] = (
+            pde * (denb_drho * drho_dT - rho * CPG * u / dz
+                   - 2.0 * KEFF / dz ** 2 + (1 - void) * (-HR) * dr_dT
+                   - 2.0 * U_HT / DINT)
+            + is_outlet * ones)
+        eB[(6, 6)] = pde * (-rho * CPG * T / dz) + is_inlet * ones
+        Bb = asm(eB)
+
+        # ---- slot 0: A (d rows / d y_m) ----------------------------------
+        eA = {}
+        for k in range(5):
+            eA[(k, k)] = (pde * (u_m / dz + disp * (1.0 - is_first))
+                          - is_outlet * ones)
+            eA[(k, 6)] = pde * (C_m[k] / dz)
+        eA[(5, 5)] = pde * (-u * P0 * invT_m ** 2 / dz
+                            - disp * P0 * invT_m ** 2)
+        eA[(5, 6)] = pde * (P0 * invT / dz) - is_outlet * ones
+        eA[(6, 5)] = (pde * (rho * CPG * u_m / dz + KEFF / dz ** 2)
+                      - is_outlet * ones)
+        eA[(6, 6)] = pde * (rho * CPG * T_m / dz)
+        Ab = asm(eA)
+
+        # ---- slots 2 & 3: C and D (linear; same as _analytic_CD_jac) -----
+        eC = {(k, k): pde * disp * ones for k in range(5)}
+        eC[(5, 5)] = -pde * disp * P0 / (T_p * T_p)
+        eC[(6, 5)] = pde * KEFF / dz ** 2 * ones
+        Cb = asm(eC)
+
+        eD = {(k, k): (is_inlet - pde * void) * ones for k in range(5)}
+        eD[(5, 5)] = is_inlet * ones + pde * is_first * P0 * void * invT ** 2
+        eD[(6, 5)] = pde * (-kappa * heatcap)
+        Db = asm(eD)
+        return {0: Ab, 1: Bb, 2: Cb, 3: Db}
+
+    return jac
+
+
 def methanation_prior(est_idx=EST_DEFAULT, mode: str = "uniform") -> Prior:
     """Prior over the estimated parameter subset.
 
@@ -536,15 +685,24 @@ class MethanationModel:
     # unchanged) — the factored mass coefficient is then exact for every
     # reuse step except the first of a block. Defaults from a measured
     # accuracy/cost sweep (benchmarks/sweep_jac_lag.py, one v5e chip):
-    # 4/0/2/4 gives 733 vs 463 particles/s (1.58x) with outlet-flow errors
-    # vs a 96-step dense reference identical to the per-step-factored
-    # engine (max ~0.9 sccm at the true kinetics, ~2.1 sccm over
-    # posterior-bulk draws — the shared discretization error, not the lag).
+    # stride 6 / reuse_iters 1 / dense_tail 6 with the full analytic
+    # Jacobian gives ~1340 vs 463 particles/s (2.9x) with outlet-flow
+    # errors vs a 96-step dense reference identical to the per-step
+    # factored engine (max ~2.2 sccm over posterior-bulk draws — the
+    # shared discretization error, not the lag; obs noise sigma_true = 5).
+    # The dense tail is load-bearing: dropping it triples the error.
     # jac_stride=1 disables the lag.
-    jac_stride: int = 4
+    jac_stride: int = 6
     n_dense: int = 0
-    reuse_iters: int = 2
-    dense_tail: int = 4
+    reuse_iters: int = 1
+    dense_tail: int = 6
+    # Jacobian-block construction: "full" = closed-form blocks for all four
+    # slots (no jax.linearize tangent passes at all — at reuse_iters=1 the
+    # build is ~40% of a factor step, and "full" measures ~9% faster than
+    # "cd" end-to-end); "cd" = analytic y_p/yd blocks + 14 tangent passes
+    # for the y_m/y slots (kept as the autodiff cross-check path); "ad" =
+    # all 28 passes by linearize.
+    jac_mode: str = "full"
     # Particles are processed in chunks of (chunk x n_data) simultaneous DAE
     # systems (lax.map over chunks): bounds the live Jacobian working set
     # (4 x 49 x NX x chunk x n_data x 4B) instead of materializing all
@@ -655,9 +813,12 @@ class MethanationModel:
         def rows(y_m, y, y_p, yd):
             return _rows_bl(y_m, y, y_p, yd, flags, condv, kin_bl)
 
+        ajac = {"full": lambda: _analytic_full_jac(flags, condv, kin_bl),
+                "cd": lambda: _analytic_CD_jac(flags, condv),
+                "ad": lambda: None}[self.jac_mode]()
         yf = bdf_march_bl(rows, y0, self._dts(),
                           newton_iters=self.newton_iters, pivot=self.pivot,
-                          analytic_jac=_analytic_CD_jac(flags, condv),
+                          analytic_jac=ajac,
                           jac_stride=self.jac_stride,
                           n_dense=self._n_dense_eff,
                           reuse_iters=self.reuse_iters,

@@ -285,7 +285,10 @@ def bdf_march_bl(rows_bl: Callable,
 
         given = analytic_jac(y_m, y, y_p, yd) if analytic_jac else {}
         need_lin = [s for s in range(4) if s not in given]
-        F, lin = jax.linearize(rows_bl, y_m, y, y_p, yd)
+        if need_lin:
+            F, lin = jax.linearize(rows_bl, y_m, y, y_p, yd)
+        else:
+            F = rows_bl(y_m, y, y_p, yd)
         # Jacobian blocks: slot s in {y_m, y, y_p, yd} x field f in 0..6 —
         # one tangent pass per (slot, field) gives a block column for all
         # grid points and batch lanes simultaneously; analytic slots skip

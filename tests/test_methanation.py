@@ -231,3 +231,13 @@ def test_analytic_jacobian_blocks_match_tangents():
         ref = np.asarray(tangent_block(slot))
         scale = np.abs(ref).max() + 1e-9
         assert np.abs(np.asarray(got[slot]) - ref).max() / scale < 1e-6
+
+    # Full analytic Jacobian: every slot, every block entry (rate-law
+    # partials, density/heat-capacity chain, boundary-row masks).
+    got = M._analytic_full_jac(flags, condv, kin)(Y_m, Y, Y_p, Yd)
+    for slot in range(4):
+        ref = np.asarray(tangent_block(slot))
+        err = np.abs(np.asarray(got[slot]) - ref)
+        # per-entry relative tolerance against the block's own magnitude
+        scale = np.abs(ref).max() + 1e-9
+        assert err.max() / scale < 5e-6, (slot, err.max(), scale)
