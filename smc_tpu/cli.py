@@ -267,6 +267,12 @@ def main(argv=None):
     pg.set_defaults(fn=cmd_generate_data)
 
     args = ap.parse_args(argv)
+    # Persistent XLA compilation cache: repeat runs of the same config skip
+    # the multi-minute TPU compile of the step program (SMC_TPU_CACHE=0
+    # opts out). Done here, not at package import — importing smc_tpu must
+    # stay free of config/device side effects.
+    from smc_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     return args.fn(args)
 
 

@@ -686,7 +686,8 @@ class MethanationModel:
     # reuse step except the first of a block. Defaults from a measured
     # accuracy/cost sweep (benchmarks/sweep_jac_lag.py, one v5e chip):
     # stride 6 / reuse_iters 1 / dense_tail 6 with the full analytic
-    # Jacobian gives ~1340 vs 463 particles/s (2.9x) with outlet-flow
+    # Jacobian gives ~1530 vs 463 particles/s (3.3x, incl. the Thomas-scan
+    # unroll in ops/dae_fast.py) with outlet-flow
     # errors vs a 96-step dense reference identical to the per-step
     # factored engine (max ~2.2 sccm over posterior-bulk draws — the
     # shared discretization error, not the lag; obs noise sigma_true = 5).
@@ -703,6 +704,11 @@ class MethanationModel:
     # for the y_m/y slots (kept as the autodiff cross-check path); "ad" =
     # all 28 passes by linearize.
     jac_mode: str = "full"
+    # Linear solver for the Newton updates: "thomas" = sequential block-
+    # Thomas scan over NX; "cr" = log-depth block cyclic reduction (same
+    # factors reused across modified-Newton/lag iterations; ~2-3x the block
+    # FLOPs for ~8x fewer sequential stages — see docs/PERF.md).
+    solver: str = "thomas"
     # Particles are processed in chunks of (chunk x n_data) simultaneous DAE
     # systems (lax.map over chunks): bounds the live Jacobian working set
     # (4 x 49 x NX x chunk x n_data x 4B) instead of materializing all
@@ -822,7 +828,8 @@ class MethanationModel:
                           jac_stride=self.jac_stride,
                           n_dense=self._n_dense_eff,
                           reuse_iters=self.reuse_iters,
-                          dense_tail=self.dense_tail)
+                          dense_tail=self.dense_tail,
+                          solver=self.solver)
         flows = (yf[:5, -1, :] * yf[6, -1, :] * AREA * 60.0 * R_GAS * 298.0
                  / P_STP * 1e6)                            # (5, B)
         flows = flows.reshape(5, n, nc)

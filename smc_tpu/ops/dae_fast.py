@@ -31,6 +31,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# Unroll factor for the NX-axis block-Thomas scans: merging several block
+# rows per loop iteration amortizes the TPU while-loop iteration tax over
+# more VPU work. Measured on one v5e chip (chunk-128 methanation march):
+# 1 -> ~1300 pps, 6 -> ~1530 pps, 10 -> ~1140 (I-cache/scheduling falls
+# over). Static under jit; see docs/PERF.md.
+_NX_UNROLL = 6
+
 
 def _swap_rows(M, R, c, r):
     """Conditionally swap rows c and r so |M[c][c]| is maximal (pairwise)."""
@@ -139,6 +146,48 @@ def lu7_solve_T(LU: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([jnp.stack(X[i]) for i in range(n)])
 
 
+def lu7_pivot(A: jnp.ndarray):
+    """Partial-pivoting LU with a STORED permutation: A (n, n, B) ->
+    (LU, P) with P A = L U, P a one-hot (n, n, B) permutation matrix.
+
+    Pairwise conditional swaps of FULL rows (including the computed L
+    columns — LAPACK-style, so the factors replay on any rhs). Needed where
+    raw diagonal blocks may be structurally unpivotable (e.g. the outlet
+    boundary block couples u/T as a pure 2x2 permutation); the solve costs
+    one extra matvec (y = P rhs) over the no-pivot path.
+    """
+    n = A.shape[0]
+    M = [[A[i, j] for j in range(n)] for i in range(n)]
+    eye = jnp.eye(n, dtype=A.dtype)
+    P = [[jnp.broadcast_to(eye[i, j], A.shape[2:]) for j in range(n)]
+         for i in range(n)]
+    for c in range(n):
+        for r in range(c + 1, n):
+            swap = jnp.abs(M[r][c]) > jnp.abs(M[c][c])
+            for j in range(n):
+                Mc, Mr = M[c][j], M[r][j]
+                M[c][j] = jnp.where(swap, Mr, Mc)
+                M[r][j] = jnp.where(swap, Mc, Mr)
+                Pc, Pr = P[c][j], P[r][j]
+                P[c][j] = jnp.where(swap, Pr, Pc)
+                P[r][j] = jnp.where(swap, Pc, Pr)
+        inv_p = 1.0 / M[c][c]
+        for r in range(c + 1, n):
+            f = M[r][c] * inv_p
+            M[r][c] = f
+            for j in range(c + 1, n):
+                M[r][j] = M[r][j] - f * M[c][j]
+    LU = jnp.stack([jnp.stack(M[i]) for i in range(n)])
+    Pm = jnp.stack([jnp.stack(P[i]) for i in range(n)])
+    return LU, Pm
+
+
+def lu7_pivot_solve(LU, P, rhs):
+    """Solve with lu7_pivot factors: x = U^-1 L^-1 P rhs. rhs (n, k, B)."""
+    pr = jnp.sum(P[:, :, None, :] * rhs[None, :, :, :], axis=1)
+    return lu7_solve(LU, pr)
+
+
 def block_thomas_factor(A, B, C):
     """Factorization phase of the block-Thomas solve (no pivoting).
 
@@ -155,7 +204,8 @@ def block_thomas_factor(A, B, C):
         return LU, (LU, m)
 
     LU0 = lu7_nopivot(B[0])
-    _, (LUs, ms) = lax.scan(fwd, LU0, (A[1:], B[1:], C[:-1]))
+    _, (LUs, ms) = lax.scan(fwd, LU0, (A[1:], B[1:], C[:-1]),
+                            unroll=_NX_UNROLL)
     LUs = jnp.concatenate([LU0[None], LUs], axis=0)
     ms = jnp.concatenate([jnp.zeros_like(LU0)[None], ms], axis=0)
     return LUs, ms
@@ -169,7 +219,7 @@ def block_thomas_apply(LUs, ms, C, rhs):
         return rp, rp
 
     rp0 = rhs[0]
-    _, rps = lax.scan(fwd, rp0, (ms[1:], rhs[1:]))
+    _, rps = lax.scan(fwd, rp0, (ms[1:], rhs[1:]), unroll=_NX_UNROLL)
     rps = jnp.concatenate([rp0[None], rps], axis=0)
 
     xn = lu7_solve(LUs[-1], rps[-1][:, None, :])[:, 0, :]
@@ -179,7 +229,8 @@ def block_thomas_apply(LUs, ms, C, rhs):
         x = lu7_solve(LU, (rp - _matvec_bl(Ci, x_next))[:, None, :])[:, 0, :]
         return x, x
 
-    _, xs = lax.scan(bwd, xn, (LUs[:-1], rps[:-1], C[:-1]), reverse=True)
+    _, xs = lax.scan(bwd, xn, (LUs[:-1], rps[:-1], C[:-1]),
+                     reverse=True, unroll=_NX_UNROLL)
     return jnp.concatenate([xs, xn[None]], axis=0)
 
 
@@ -192,6 +243,123 @@ def _matmul_bl(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def _matvec_bl(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """(n,m,B) @ (m,B) -> (n,B)."""
     return jnp.sum(a * v[None, :, :], axis=1)
+
+
+# --------------------------------------------------------------------------
+# Block cyclic reduction: log-depth alternative to the block-Thomas scan.
+#
+# The Thomas solve is a 2xNX-deep chain of small block ops whose only wide
+# axis is the lane batch; PERF.md measures the march as dependency-bound,
+# not FLOP- or HBM-bound. Cyclic reduction trades ~2-3x the block FLOPs for
+# ~8x fewer sequential stages (2*log2(NX) vs 2*NX): at each level all
+# EVEN-indexed rows are eliminated simultaneously (each substituted into
+# its two odd neighbors), recursing on the odd rows — a system of size
+# (m-1)/2, which stays 2^j - 1 when NX is padded to 2^k - 1 with decoupled
+# identity blocks (safe: the caller already zeroes A[0] and C[-1], so the
+# pad boundary has no coupling terms).
+# --------------------------------------------------------------------------
+
+_blu_piv = jax.vmap(lu7_pivot)                    # (m,7,7,B) -> (LU, P)
+_bsolve_piv = jax.vmap(lu7_pivot_solve)           # ((m,..LU,P),(m,7,k,B))
+_blu_np = jax.vmap(lu7_nopivot)
+_bsolve_np = jax.vmap(lu7_solve)
+
+
+def _blu(Bm, pivot):
+    return _blu_piv(Bm) if pivot else (_blu_np(Bm), None)
+
+
+def _bsolve(LUP, r):
+    LU, P = LUP
+    if P is None:
+        return _bsolve_np(LU, r)
+    return _bsolve_piv(LU, P, r)
+
+
+def _bsolve_vec(LUP, r):
+    return _bsolve(LUP, r[:, :, None, :])[:, :, 0, :]
+
+
+_bmm = jax.vmap(_matmul_bl)                        # (m,7,7,B)x(m,7,7,B)
+_bmv = jax.vmap(_matvec_bl)                        # (m,7,7,B)x(m,7,B)
+
+
+def _cr_pad(A, B, C, nx):
+    """Pad the row axis to m = 2^k - 1 with decoupled identity blocks."""
+    m = 1
+    while m < nx:
+        m = 2 * m + 1
+    if m == nx:
+        return A, B, C, m
+    pad = m - nx
+    eye = jnp.broadcast_to(jnp.eye(B.shape[1], dtype=B.dtype)[:, :, None],
+                           (pad,) + B.shape[1:])
+    zero = jnp.zeros((pad,) + A.shape[1:], A.dtype)
+    return (jnp.concatenate([A, zero]), jnp.concatenate([B, eye]),
+            jnp.concatenate([C, zero]), m)
+
+
+def block_cr_factor(A, B, C):
+    """Cyclic-reduction factorization of a block-tridiagonal system.
+
+    A/B/C: (NX, n, n, Bt) with A[0] == 0 and C[-1] == 0 (caller-folded,
+    same contract as block_thomas_factor). Returns an opaque factor pytree
+    for ``block_cr_apply`` — per level the eliminated (even-row) LUs and
+    propagators P = inv(B)A, Q = inv(B)C plus the surviving odd rows'
+    original off-diagonals, and the root LU. No pivoting (the
+    modified-Newton economy path already runs pivot-free).
+    """
+    nx = A.shape[0]
+    A, B, C, m = _cr_pad(A, B, C, nx)
+    levels = []
+    level = 0
+    while m > 1:
+        # even rows 0,2,..,m-1 are eliminated; odd rows 1,3,..,m-2 survive.
+        # Level 0 factors RAW diagonal blocks, which may be structurally
+        # unpivotable (the outlet boundary block is a pure u/T permutation)
+        # -> stored-pivot LU. Deeper levels factor Schur-updated blocks with
+        # mass/coupling fill-in -> no-pivot LU (graph ~6x smaller; validated
+        # against block_thomas on prior-region draws in the tests).
+        A_ev, B_ev, C_ev = A[0::2], B[0::2], C[0::2]
+        A_od, B_od, C_od = A[1::2], B[1::2], C[1::2]
+        LUP = _blu(B_ev, pivot=(level == 0))
+        P = _bsolve(LUP, A_ev)                     # inv(B_i) A_i
+        Q = _bsolve(LUP, C_ev)                     # inv(B_i) C_i
+        levels.append((LUP, P, Q, A_od, C_od))
+        # Surviving row 2p+1 couples to eliminated rows 2p (P[p], Q[p]) and
+        # 2p+2 (P[p+1], Q[p+1]):  x_even = s - P x_left - Q x_right.
+        A = -_bmm(A_od, P[:-1])
+        C = -_bmm(C_od, Q[1:])
+        B = B_od - _bmm(A_od, Q[:-1]) - _bmm(C_od, P[1:])
+        m = A.shape[0]
+        level += 1
+    root = lu7_pivot(B[0])
+    return (tuple(levels), root)
+
+
+def block_cr_apply(factors, rhs):
+    """Solve with stored cyclic-reduction factors. rhs (NX, n, Bt)."""
+    levels, root = factors
+    nx = rhs.shape[0]
+    m = levels[0][0][0].shape[0] * 2 - 1 if levels else 1
+    if m != nx:
+        rhs = jnp.concatenate(
+            [rhs, jnp.zeros((m - nx,) + rhs.shape[1:], rhs.dtype)])
+    r = rhs
+    stash = []
+    for LUP, P, Q, A_od, C_od in levels:
+        s = _bsolve_vec(LUP, r[0::2])
+        stash.append(s)
+        r = r[1::2] - _bmv(A_od, s[:-1]) - _bmv(C_od, s[1:])
+    x = lu7_pivot_solve(root[0], root[1], r[0][:, None, :])[:, 0, :][None]
+    for (LUP, P, Q, _, _), s in zip(reversed(levels), reversed(stash)):
+        z = jnp.zeros_like(x[:1])
+        x_ev = (s - _bmv(P, jnp.concatenate([z, x]))
+                - _bmv(Q, jnp.concatenate([x, z])))
+        inter = jnp.stack([x_ev[:-1], x], axis=1)
+        x = jnp.concatenate([inter.reshape((-1,) + x.shape[1:]),
+                             x_ev[-1:]])
+    return x[:nx]
 
 
 def block_thomas_bl(A, B, C, rhs, pivot: bool = True):
@@ -211,7 +379,8 @@ def block_thomas_bl(A, B, C, rhs, pivot: bool = True):
         return (Bp, rp), (Bp, rp)
 
     B0, r0 = B[0], rhs[0]
-    _, (Bps, rps) = lax.scan(fwd, (B0, r0), (A[1:], B[1:], C[:-1], rhs[1:]))
+    _, (Bps, rps) = lax.scan(fwd, (B0, r0), (A[1:], B[1:], C[:-1], rhs[1:]),
+                             unroll=_NX_UNROLL)
     Bps = jnp.concatenate([B0[None], Bps], axis=0)
     rps = jnp.concatenate([r0[None], rps], axis=0)
 
@@ -223,7 +392,8 @@ def block_thomas_bl(A, B, C, rhs, pivot: bool = True):
         x = solve7(Bp, rhs_i[:, None, :], pivot=pivot)[:, 0, :]
         return x, x
 
-    _, xs = lax.scan(bwd, xn, (Bps[:-1], rps[:-1], C[:-1]), reverse=True)
+    _, xs = lax.scan(bwd, xn, (Bps[:-1], rps[:-1], C[:-1]),
+                     reverse=True, unroll=_NX_UNROLL)
     return jnp.concatenate([xs, xn[None]], axis=0)
 
 
@@ -237,7 +407,8 @@ def bdf_march_bl(rows_bl: Callable,
                  jac_stride: int = 1,
                  n_dense: int = None,
                  reuse_iters: int = None,
-                 dense_tail: int = 0) -> jnp.ndarray:
+                 dense_tail: int = 0,
+                 solver: str = "thomas") -> jnp.ndarray:
     """March F(y, y') = 0 in batch-last layout. y0: (7, NX, B).
 
     rows_bl(y_m, y, y_p, yd) -> (7, NX, B) residual rows, where y_m/y_p are
@@ -315,6 +486,21 @@ def bdf_march_bl(rows_bl: Callable,
         C_ = C_.at[-1].set(0.0)
         return A_, B_, C_, -jnp.moveaxis(F, 1, 0)
 
+    def factor_(A_, B_, C_):
+        # solver="cr": log-depth cyclic reduction; "thomas": sequential scan.
+        if solver == "cr":
+            return block_cr_factor(A_, B_, C_)
+        LUs, ms = block_thomas_factor(A_, B_, C_)
+        return (LUs, ms, C_)
+
+    def apply_(fac, rhs):
+        if solver == "cr":
+            delta = block_cr_apply(fac, rhs)
+        else:
+            LUs, ms, C_ = fac
+            delta = block_thomas_apply(LUs, ms, C_, rhs)
+        return jnp.moveaxis(delta, 0, 1)
+
     def coeffs(y_n, y_nm1, h, h_prev, is_first):
         if order == 2:
             r = jnp.where(is_first > 0, 0.0, h / h_prev)
@@ -341,19 +527,15 @@ def bdf_march_bl(rows_bl: Callable,
         else:
             # Modified Newton: build + factorize the block-tridiagonal
             # Jacobian ONCE per time step (at the BDF predictor y_n) and
-            # reuse the LU factors/multipliers for every iteration — the
-            # standard stiff-integrator economy (IDA reuses J across many
-            # steps); each extra iteration costs one residual + one
-            # fwd/bwd substitution sweep.
+            # reuse the factors for every iteration — the standard
+            # stiff-integrator economy (IDA reuses J across many steps);
+            # each extra iteration costs one residual + one solve sweep.
             A_, B_, C_, rhs = build_blocks(y_n, alpha, const, h)
-            LUs, ms = block_thomas_factor(A_, B_, C_)
-            y = y_n + jnp.moveaxis(block_thomas_apply(LUs, ms, C_, rhs),
-                                   0, 1)
+            fac = factor_(A_, B_, C_)
+            y = y_n + apply_(fac, rhs)
 
             def one_more(_, y):
-                rhs = residual(y, alpha, const, h)
-                delta = block_thomas_apply(LUs, ms, C_, rhs)
-                return y + jnp.moveaxis(delta, 0, 1)
+                return y + apply_(fac, residual(y, alpha, const, h))
 
             y = lax.fori_loop(0, newton_iters - 1, one_more, y)
         return (y, y_n, h), None
@@ -380,9 +562,6 @@ def bdf_march_bl(rows_bl: Callable,
     hs_blk = dts[n_dense:n_lag].reshape(-1, jac_stride)
     first_blk = first[n_dense:n_lag].reshape(-1, jac_stride)
 
-    def apply_(LUs, ms, C_, rhs):
-        return jnp.moveaxis(block_thomas_apply(LUs, ms, C_, rhs), 0, 1)
-
     def predictor(y_n, y_nm1, h, h_prev, is_first):
         # IDA-style polynomial predictor: linear extrapolation of the last
         # two solutions. Cuts the initial Newton residual to O(h^2) — the
@@ -398,12 +577,12 @@ def bdf_march_bl(rows_bl: Callable,
         alpha, const = coeffs(y_n, y_nm1, h, h_prev, firsts[0])
         y0_pred = predictor(y_n, y_nm1, h, h_prev, firsts[0])
         A_, B_, C_, rhs = build_blocks(y0_pred, alpha, const, h)
-        LUs, ms = block_thomas_factor(A_, B_, C_)
+        fac = factor_(A_, B_, C_)
         cj_f = alpha / h
-        y = y0_pred + apply_(LUs, ms, C_, rhs)
+        y = y0_pred + apply_(fac, rhs)
 
         def one_more(_, y):
-            return y + apply_(LUs, ms, C_, residual(y, alpha, const, h))
+            return y + apply_(fac, residual(y, alpha, const, h))
 
         y = lax.fori_loop(0, newton_iters - 1, one_more, y)
         y_n, y_nm1, h_prev = y, y_n, h
@@ -416,8 +595,7 @@ def bdf_march_bl(rows_bl: Callable,
             y = predictor(y_n, y_nm1, h, h_prev, firsts[j])
 
             def one_reuse(_, y, alpha=alpha, const=const, h=h, c=c):
-                return y + c * apply_(LUs, ms, C_,
-                                      residual(y, alpha, const, h))
+                return y + c * apply_(fac, residual(y, alpha, const, h))
 
             y = lax.fori_loop(0, reuse_iters, one_reuse, y)
             y_n, y_nm1, h_prev = y, y_n, h

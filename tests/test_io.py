@@ -79,3 +79,17 @@ def test_plots_smoke(tmp_path):
     pred = obs[None] + rng.normal(size=(20, 5, 6)) * 0.1
     assert plot_parity(obs, pred, str(tmp_path / "box.png"),
                        str(tmp_path / "mean.png"))
+
+
+def test_compile_cache_enable(tmp_path, monkeypatch):
+    """Persistent-cache helper points JAX at a writable dir and respects
+    the SMC_TPU_CACHE=0 opt-out (the CLI calls this at entry; importing
+    smc_tpu must stay side-effect-free, so it is never called at import)."""
+    import jax
+    from smc_tpu.utils.compile_cache import enable_persistent_cache
+    target = str(tmp_path / "xla")
+    monkeypatch.delenv("SMC_TPU_CACHE", raising=False)
+    assert enable_persistent_cache(target) == target
+    assert jax.config.jax_compilation_cache_dir == target
+    monkeypatch.setenv("SMC_TPU_CACHE", "0")
+    assert enable_persistent_cache(target) is None

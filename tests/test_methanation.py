@@ -75,6 +75,35 @@ def test_block_thomas_bl_matches_dense():
         np.testing.assert_allclose(x[:, :, t], ref, rtol=3e-3, atol=2e-4)
 
 
+def test_block_cyclic_reduction_matches_thomas():
+    """CR factors+apply == pivoted Thomas on random systems (several sizes
+    incl. non-2^k-1 padding) AND on real methanation Jacobian blocks whose
+    outlet boundary block is a u/T permutation (structurally unpivotable —
+    the case that forces the stored-pivot LU at level 0)."""
+    from smc_tpu.ops.dae_fast import block_cr_factor, block_cr_apply
+    rng = np.random.default_rng(2)
+    b = 7
+    for nx in (1, 2, 5, 8, 51):
+        bt = 3
+        A = rng.normal(size=(nx, b, b, bt)).astype(np.float32) * 0.3
+        B = rng.normal(size=(nx, b, b, bt)).astype(np.float32) \
+            + 4.0 * np.eye(b)[None, :, :, None].astype(np.float32)
+        C = rng.normal(size=(nx, b, b, bt)).astype(np.float32) * 0.3
+        A[0] = 0
+        C[-1] = 0
+        # outlet-like permutation block: zero diagonal, off-diagonal ones
+        B[-1] = np.eye(b)[None, :, :, None]
+        B[-1, 5, 5] = B[-1, 6, 6] = 0.0
+        B[-1, 5, 6] = B[-1, 6, 5] = 1.0
+        r = rng.normal(size=(nx, b, bt)).astype(np.float32)
+        A, B, C, r = map(jnp.asarray, (A, B, C, r))
+        x_ref = np.asarray(block_thomas_bl(A, B, C, r, pivot=True))
+        x_cr = np.asarray(block_cr_apply(block_cr_factor(A, B, C), r))
+        scale = np.abs(x_ref).max() + 1e-9
+        assert np.isfinite(x_cr).all(), nx
+        assert np.abs(x_cr - x_ref).max() / scale < 2e-4, nx
+
+
 def test_engines_agree():
     """Lanes-major engine == per-system blocked engine (tiny problem).
 
