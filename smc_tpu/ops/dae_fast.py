@@ -38,6 +38,15 @@ from jax import lax
 # over). Static under jit; see docs/PERF.md.
 _NX_UNROLL = 6
 
+# Fuse the block-Thomas factorization's forward sweep with the first
+# right-hand side's forward sweep (one scan instead of two per factor
+# step). MEASURED NEGATIVE on v5e (benchmarks/ab_fused_factor.py,
+# interleaved same-process A/B: fused 1348/1355 pps vs separate 1556/1560)
+# — the fatter scan body hurts Mosaic scheduling more than the saved scan
+# launch, the same pathology as _NX_UNROLL=10. Kept as a trace-time flag so
+# the experiment stays reproducible on future hardware.
+_FUSED_FACTOR = False
+
 
 def _swap_rows(M, R, c, r):
     """Conditionally swap rows c and r so |M[c][c]| is maximal (pairwise)."""
@@ -209,6 +218,48 @@ def block_thomas_factor(A, B, C):
     LUs = jnp.concatenate([LU0[None], LUs], axis=0)
     ms = jnp.concatenate([jnp.zeros_like(LU0)[None], ms], axis=0)
     return LUs, ms
+
+
+def block_thomas_factor_apply(A, B, C, rhs):
+    """Fused factorization + first solve.
+
+    The factor's forward sweep and the first right-hand side's forward
+    sweep share one scan over NX (they consume the same elimination
+    multipliers the moment they are produced), saving one NX-length scan
+    launch per factor step. MEASURED SLOWER than separate sweeps as the
+    march solver (see _FUSED_FACTOR) — off by default. Returns
+    ((LUs, ms), x) with factors reusable by ``block_thomas_apply`` for
+    subsequent right-hand sides.
+    """
+    def fwd(carry, inp):
+        LU_prev, rp_prev = carry
+        Ai, Bi, Ci_prev, ri = inp
+        mT = lu7_solve_T(LU_prev, jnp.swapaxes(Ai, 0, 1))
+        m = jnp.swapaxes(mT, 0, 1)
+        Bp = Bi - _matmul_bl(m, Ci_prev)
+        LU = lu7_nopivot(Bp)
+        rp = ri - _matvec_bl(m, rp_prev)
+        return (LU, rp), (LU, m, rp)
+
+    LU0 = lu7_nopivot(B[0])
+    rp0 = rhs[0]
+    _, (LUs, ms, rps) = lax.scan(fwd, (LU0, rp0),
+                                 (A[1:], B[1:], C[:-1], rhs[1:]),
+                                 unroll=_NX_UNROLL)
+    LUs = jnp.concatenate([LU0[None], LUs], axis=0)
+    ms = jnp.concatenate([jnp.zeros_like(LU0)[None], ms], axis=0)
+    rps = jnp.concatenate([rp0[None], rps], axis=0)
+
+    xn = lu7_solve(LUs[-1], rps[-1][:, None, :])[:, 0, :]
+
+    def bwd(x_next, inp):
+        LU, rp, Ci = inp
+        x = lu7_solve(LU, (rp - _matvec_bl(Ci, x_next))[:, None, :])[:, 0, :]
+        return x, x
+
+    _, xs = lax.scan(bwd, xn, (LUs[:-1], rps[:-1], C[:-1]),
+                     reverse=True, unroll=_NX_UNROLL)
+    return (LUs, ms), jnp.concatenate([xs, xn[None]], axis=0)
 
 
 def block_thomas_apply(LUs, ms, C, rhs):
@@ -501,6 +552,14 @@ def bdf_march_bl(rows_bl: Callable,
             delta = block_thomas_apply(LUs, ms, C_, rhs)
         return jnp.moveaxis(delta, 0, 1)
 
+    def factor_apply_(A_, B_, C_, rhs):
+        """Factor + first solve; fused forward sweep on the Thomas path."""
+        if solver == "cr" or not _FUSED_FACTOR:
+            fac = factor_(A_, B_, C_)
+            return fac, apply_(fac, rhs)
+        (LUs, ms), delta = block_thomas_factor_apply(A_, B_, C_, rhs)
+        return (LUs, ms, C_), jnp.moveaxis(delta, 0, 1)
+
     def coeffs(y_n, y_nm1, h, h_prev, is_first):
         if order == 2:
             r = jnp.where(is_first > 0, 0.0, h / h_prev)
@@ -531,8 +590,8 @@ def bdf_march_bl(rows_bl: Callable,
             # stiff-integrator economy (IDA reuses J across many steps);
             # each extra iteration costs one residual + one solve sweep.
             A_, B_, C_, rhs = build_blocks(y_n, alpha, const, h)
-            fac = factor_(A_, B_, C_)
-            y = y_n + apply_(fac, rhs)
+            fac, delta = factor_apply_(A_, B_, C_, rhs)
+            y = y_n + delta
 
             def one_more(_, y):
                 return y + apply_(fac, residual(y, alpha, const, h))
@@ -577,9 +636,9 @@ def bdf_march_bl(rows_bl: Callable,
         alpha, const = coeffs(y_n, y_nm1, h, h_prev, firsts[0])
         y0_pred = predictor(y_n, y_nm1, h, h_prev, firsts[0])
         A_, B_, C_, rhs = build_blocks(y0_pred, alpha, const, h)
-        fac = factor_(A_, B_, C_)
+        fac, delta = factor_apply_(A_, B_, C_, rhs)
         cj_f = alpha / h
-        y = y0_pred + apply_(fac, rhs)
+        y = y0_pred + delta
 
         def one_more(_, y):
             return y + apply_(fac, residual(y, alpha, const, h))

@@ -193,6 +193,58 @@ def _grid_from_pieces(csum_pieces, cb: int, v0q: jnp.ndarray) -> jnp.ndarray:
     return t
 
 
+def _rs_counts_offsets(key: jax.Array, weights: jnp.ndarray):
+    """Shared core of residual-systematic resampling: per-particle offspring
+    counts AND their exclusive prefix sum (output slot offsets), computed
+    with a single batched int32 cumsum.
+
+    Two fusions over the naive formulation (measured: the resampling step is
+    prefix-sum-launch-bound, docs/PERF.md):
+    - the residual piece cumsums and the deterministic-copy cumsum stack
+      into ONE (nchunks+1, N) cumsum along the lane axis;
+    - the slot offsets telescope analytically — the exclusive cumsum of
+      counts_j = det_j + grid_below_j - prev_j is
+      (det_csum_j - det_j) + (prev_j - grid_start) because the grid terms
+      collapse (prev_i = grid_below_{i-1}) — so no cumsum over counts is
+      ever taken.
+
+    The total-count repair (quantization remainder -> max-weight particle)
+    is folded into both: identical counts to repair-then-clamp, with the
+    offset shift applied positionally.
+    """
+    n = weights.shape[0]
+    scaled = weights * n
+    det = jnp.floor(scaled)
+    resid = scaled - det          # in [0, 1) per particle, exact fp32
+    v0 = jax.random.uniform(key, ())  # == N * wrand, wrand ~ U[0, 1/N)
+    v0q = jnp.floor(v0 * (1 << _QBITS)).astype(jnp.int32)
+
+    pieces, cb = _residual_pieces(resid, n)
+    det_i = det.astype(jnp.int32)     # values < n, cumsum <= n: int32-exact
+    stacked = jnp.stack(pieces + [det_i])
+    csum = jnp.cumsum(stacked, axis=1)
+    csum_pieces = [csum[i] for i in range(len(pieces))]
+    det_csum = csum[len(pieces)]
+    grid_below = _grid_from_pieces(csum_pieces, cb, v0q)
+    zero = [jnp.zeros((1,), jnp.int32)] * len(csum_pieces)
+    grid_start = _grid_from_pieces(zero, cb, v0q)    # (1,) grid at cumsum 0
+    prev = jnp.concatenate([grid_start, grid_below[:-1]])
+    counts = det_i + grid_below - prev
+    # Residual quantization (and fp32 error in the weights themselves) can
+    # leave the total one or two off N; repair on the max-weight particle so
+    # the total is exactly N (branchless; deterministic, layout-independent).
+    # max(diff, -counts[fix]) never drives the count negative — elementwise
+    # identical to the historical add-then-clamp (other counts are provably
+    # >= 0: det >= 0 and grid_below is nondecreasing).
+    total = det_csum[-1] + grid_below[-1] - grid_start[0]
+    fix = jnp.argmax(weights)
+    applied = jnp.maximum(n - total, -counts[fix])
+    counts = counts.at[fix].add(applied)
+    offsets = (det_csum - det_i) + (prev - grid_start[0])
+    offsets = offsets + jnp.where(jnp.arange(n) > fix, applied, 0)
+    return counts, offsets
+
+
 def residual_systematic_counts(key: jax.Array, weights: jnp.ndarray,
                                ) -> jnp.ndarray:
     """Per-particle offspring counts of residual-systematic resampling.
@@ -213,27 +265,21 @@ def residual_systematic_counts(key: jax.Array, weights: jnp.ndarray,
 
     Returns integer counts (N,) summing exactly to N.
     """
-    n = weights.shape[0]
-    scaled = weights * n
-    det = jnp.floor(scaled)
-    resid = scaled - det          # in [0, 1) per particle, exact fp32
-    v0 = jax.random.uniform(key, ())  # == N * wrand, wrand ~ U[0, 1/N)
-    v0q = jnp.floor(v0 * (1 << _QBITS)).astype(jnp.int32)
+    counts, _ = _rs_counts_offsets(key, weights)
+    return counts
 
-    pieces, cb = _residual_pieces(resid, n)
-    csum_pieces = [jnp.cumsum(p) for p in pieces]
-    grid_below = _grid_from_pieces(csum_pieces, cb, v0q)
-    zero = [jnp.zeros((1,), jnp.int32)] * len(csum_pieces)
-    grid_start = _grid_from_pieces(zero, cb, v0q)    # grid at cumsum 0
-    prev = jnp.concatenate([grid_start, grid_below[:-1]])
-    counts = det.astype(jnp.int32) + grid_below - prev
-    # Residual quantization (and fp32 error in the weights themselves) can
-    # leave the total one or two off N; repair on the max-weight particle so
-    # the total is exactly N (branchless; deterministic, layout-independent).
-    diff = n - jnp.sum(counts)
-    fix = jnp.argmax(weights)
-    counts = counts.at[fix].add(diff)
-    return jnp.maximum(counts, 0)
+
+def residual_systematic_ancestors(key: jax.Array, weights: jnp.ndarray
+                                  ) -> jnp.ndarray:
+    """Fused counts -> ancestor-index build for the default scheme: reuses
+    the analytically-telescoped slot offsets from _rs_counts_offsets, so the
+    whole index build costs two cumsum launches (one batched) + one scatter
+    instead of five cumsums. Output identical to
+    counts_to_ancestors(residual_systematic_counts(...))."""
+    n = weights.shape[0]
+    _, offsets = _rs_counts_offsets(key, weights)
+    hist = jnp.zeros(n, jnp.int32).at[offsets].add(1, mode="drop")
+    return jnp.cumsum(hist) - 1
 
 
 def counts_to_ancestors(counts: jnp.ndarray) -> jnp.ndarray:
@@ -313,6 +359,8 @@ def residual_systematic_resample(key: jax.Array, weights: jnp.ndarray,
                                  ) -> jnp.ndarray:
     """Ancestor indices (N,) for the chosen resampling scheme (default:
     the reference's residual-systematic, Algorithm 2)."""
+    if scheme == "residual_systematic":
+        return residual_systematic_ancestors(key, weights)
     counts = resample_counts(key, weights, scheme)
     return counts_to_ancestors(counts)
 

@@ -75,6 +75,32 @@ def test_block_thomas_bl_matches_dense():
         np.testing.assert_allclose(x[:, :, t], ref, rtol=3e-3, atol=2e-4)
 
 
+def test_block_thomas_factor_apply_matches_separate():
+    """Fused factor+first-solve sweep == factor then apply (the non-default
+    _FUSED_FACTOR=True path; measured slower on v5e but kept reproducible —
+    see ops/dae_fast.py)."""
+    from smc_tpu.ops.dae_fast import (block_thomas_apply,
+                                      block_thomas_factor,
+                                      block_thomas_factor_apply)
+    rng = np.random.default_rng(3)
+    nx, b, bt = 11, 7, 5
+    A = rng.normal(size=(nx, b, b, bt)).astype(np.float32) * 0.3
+    B = rng.normal(size=(nx, b, b, bt)).astype(np.float32) \
+        + 4.0 * np.eye(b)[None, :, :, None].astype(np.float32)
+    C = rng.normal(size=(nx, b, b, bt)).astype(np.float32) * 0.3
+    A[0] = 0
+    C[-1] = 0
+    r = rng.normal(size=(nx, b, bt)).astype(np.float32)
+    A, B, C, r = map(jnp.asarray, (A, B, C, r))
+    (LUs_f, ms_f), x_fused = block_thomas_factor_apply(A, B, C, r)
+    LUs, ms = block_thomas_factor(A, B, C)
+    x_sep = block_thomas_apply(LUs, ms, C, r)
+    np.testing.assert_allclose(np.asarray(x_fused), np.asarray(x_sep),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(LUs_f), np.asarray(LUs))
+    np.testing.assert_array_equal(np.asarray(ms_f), np.asarray(ms))
+
+
 def test_block_cyclic_reduction_matches_thomas():
     """CR factors+apply == pivoted Thomas on random systems (several sizes
     incl. non-2^k-1 padding) AND on real methanation Jacobian blocks whose
