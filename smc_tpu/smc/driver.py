@@ -27,7 +27,9 @@ from jax import lax
 
 from smc_tpu.config import SMCConfig
 from smc_tpu.priors import Prior
-from smc_tpu.smc.kernels import find_gamma, mh_mutation, residual_systematic_resample
+from smc_tpu.smc.kernels import (find_gamma, mh_mutation,
+                                 residual_systematic_apply,
+                                 residual_systematic_resample)
 from smc_tpu.smc.state import SMCState
 
 logger = logging.getLogger("smc_tpu")
@@ -49,7 +51,10 @@ def _jitted_loglik(model):
         return hit[1]
     fn = jax.jit(model.log_likelihood)
     try:
-        ref = weakref.ref(model, lambda _, k=key: _INIT_JIT.pop(k, None))
+        # capture the dict itself: at interpreter shutdown module globals
+        # are already None when late weakref callbacks fire
+        ref = weakref.ref(model,
+                          lambda _, k=key, d=_INIT_JIT: d.pop(k, None))
     except TypeError:
         return fn
     _INIT_JIT[key] = (ref, fn)
@@ -96,10 +101,18 @@ def smc_step(state: SMCState, loglik_fn: LogLikFn, prior: Prior,
         return jax.lax.with_sharding_constraint(x, psharding)
 
     g = find_gamma(state.log_lik, state.gamma, cfg)
-    ancestors = residual_systematic_resample(k_res, g.weights,
-                                             scheme=cfg.resampling)
-    parts = pin(jnp.take(state.particles, ancestors, axis=0))
-    lk = pin(jnp.take(state.log_lik, ancestors, axis=0))
+    if cfg.resampling == "residual_systematic":
+        # Gather-free path: sorted ancestors let the particle/log-lik copy
+        # run as scatter + batched prefix sum (bitwise-equal to the gather;
+        # kernels.residual_systematic_apply).
+        parts, lk = residual_systematic_apply(
+            k_res, g.weights, (state.particles, state.log_lik))
+        parts, lk = pin(parts), pin(lk)
+    else:
+        ancestors = residual_systematic_resample(k_res, g.weights,
+                                                 scheme=cfg.resampling)
+        parts = pin(jnp.take(state.particles, ancestors, axis=0))
+        lk = pin(jnp.take(state.log_lik, ancestors, axis=0))
 
     m = mh_mutation(k_mh, parts, lk, g.gamma, loglik_fn, prior, cfg)
 

@@ -282,6 +282,57 @@ def residual_systematic_ancestors(key: jax.Array, weights: jnp.ndarray
     return jnp.cumsum(hist) - 1
 
 
+def residual_systematic_apply(key: jax.Array, weights: jnp.ndarray,
+                              arrays):
+    """Resample a pytree of (N, ...) float32 arrays by residual-systematic
+    ancestors WITHOUT building ancestor indices or gathering.
+
+    Ancestors of this scheme are sorted (all copies of particle j are
+    contiguous, in j order), so the permutation out[s] = v[anc[s]] is a
+    forward fill from each particle's first output slot — computable as a
+    scatter + prefix sum instead of a gather (TPU gathers over a long
+    particle axis are latency-heavy; docs/PERF.md measures them at ~ms,
+    flat in N):
+
+        dv_j   = int32(v_j) - int32(v_{j-1})     (bitcast, wraparound)
+        s      = zeros.at[offsets].add(dv)       (duplicates stack)
+        out    = bitcast_back(cumsum(s))         (telescopes to v[anc])
+
+    Integer addition wraps mod 2^32, so the telescoped partial sums
+    reconstruct each v bit-exactly regardless of intermediate overflow —
+    the output is BITWISE identical to jnp.take(v, ancestors, axis=0)
+    (pinned by tests/test_kernels.py). All columns of all arrays share one
+    scatter and one batched cumsum.
+    """
+    leaves, treedef = jax.tree.flatten(arrays)
+    n = weights.shape[0]
+    cols = []
+    shapes = []
+    for v in leaves:
+        if v.dtype != jnp.float32:
+            raise TypeError(f"residual_systematic_apply: float32 only, "
+                            f"got {v.dtype}")
+        shapes.append(v.shape)
+        cols.append(jax.lax.bitcast_convert_type(
+            v.reshape(n, -1), jnp.int32))
+    bundle = jnp.concatenate(cols, axis=1).T          # (K, N), lanes on N
+    dv = jnp.concatenate([bundle[:, :1],
+                          bundle[:, 1:] - bundle[:, :-1]], axis=1)
+    _, offsets = _rs_counts_offsets(key, weights)
+    filled = jnp.zeros_like(bundle).at[:, offsets].add(dv, mode="drop")
+    out = jnp.cumsum(filled, axis=1).T                # (N, K)
+    res = []
+    k0 = 0
+    for shape in shapes:
+        k = 1
+        for s in shape[1:]:
+            k *= s
+        res.append(jax.lax.bitcast_convert_type(
+            out[:, k0:k0 + k], jnp.float32).reshape(shape))
+        k0 += k
+    return jax.tree.unflatten(treedef, res)
+
+
 def counts_to_ancestors(counts: jnp.ndarray) -> jnp.ndarray:
     """Offspring counts (N,) -> ancestor index per output slot (N,).
 

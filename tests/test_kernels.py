@@ -101,6 +101,34 @@ def test_counts_to_ancestors_layout():
     np.testing.assert_array_equal(anc, [1, 1, 1, 2, 4, 4])
 
 
+def test_residual_systematic_apply_matches_gather():
+    """The gather-free scatter-fill resample (bitcast int32 first-difference
+    telescoping) must be BITWISE identical to take(v, ancestors) — including
+    -inf log-liks and adversarial weights (one dominant particle, many
+    zero-count particles, denormal-adjacent values)."""
+    from smc_tpu.smc.kernels import (residual_systematic_apply,
+                                     residual_systematic_resample)
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        n = 1024
+        w = rng.gamma(0.2, size=n).astype(np.float32)
+        if seed == 1:
+            w[7] = 1e6          # dominant particle -> huge count
+        if seed == 2:
+            w[: n // 2] = 0.0   # many zero-count particles
+        w = jnp.asarray(w / w.sum())
+        parts = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+        lk = jnp.asarray(rng.normal(size=n).astype(np.float32) * 100)
+        lk = lk.at[3].set(-np.inf)
+        key = jax.random.key(seed)
+        anc = residual_systematic_resample(key, w)
+        out_p, out_l = residual_systematic_apply(key, w, (parts, lk))
+        np.testing.assert_array_equal(
+            np.asarray(out_p), np.asarray(jnp.take(parts, anc, axis=0)))
+        np.testing.assert_array_equal(
+            np.asarray(out_l), np.asarray(jnp.take(lk, anc, axis=0)))
+
+
 def test_resampling_is_unbiased():
     """E[counts_i] == N * w_i over many independent draws."""
     rng = np.random.default_rng(3)
