@@ -429,12 +429,13 @@ NORMAL_COEFF = (0.5, 0.5, 0.5, 0.5, 0.3, 0.3, 0.3, 0.3, 0.5)
 UNI_LIST = (0, 1, 2, 3, 8)
 
 
-def _analytic_CD_jac(flags, condv):
+def _analytic_CD_jac(flags, condv, pad_cols: int = 0):
     """Closed-form y_p (slot 2) and yd (slot 3) Jacobian blocks of
     ``_rows_bl`` — these slots appear only linearly (dispersion/conduction
     stencils and mass terms), so handing them to ``bdf_march_bl`` halves its
     linearize tangent passes. Cross-checked against the tangent-built blocks
-    in tests/test_methanation.py."""
+    in tests/test_methanation.py. pad_cols appends zero block columns
+    (sublane alignment for the Pallas factor kernel) at assembly time."""
     is_inlet, is_first, is_outlet = flags[0], flags[1], flags[2]  # (NX, 1)
     void, dz, P0 = condv[2], condv[3], condv[4]
 
@@ -442,7 +443,7 @@ def _analytic_CD_jac(flags, condv):
         nf, nx, bt = y.shape
         T, T_p, C = y[5], y_p[5], y[:5]
         pde = (1.0 - is_inlet) * (1.0 - is_outlet)        # (NX, 1)
-        zeros = jnp.zeros((nf, nf, nx, bt), y.dtype)
+        zeros = jnp.zeros((nf, nf + pad_cols, nx, bt), y.dtype)
 
         disp = pde * void * DZ_DISP / dz ** 2             # (NX, B)
         Cb = zeros
@@ -467,7 +468,7 @@ def _analytic_CD_jac(flags, condv):
     return jac
 
 
-def _analytic_full_jac(flags, condv, kin):
+def _analytic_full_jac(flags, condv, kin, pad_cols: int = 0):
     """Closed-form Jacobian blocks of ``_rows_bl`` for ALL four argument
     slots (0 = y_m, 1 = y, 2 = y_p, 3 = yd).
 
@@ -498,10 +499,17 @@ def _analytic_full_jac(flags, condv, kin):
             # One concatenate per block (entries dict (row, col) -> value
             # broadcastable to (nx, bt)) — chained .at[].set scatters into a
             # zeros buffer serialize on TPU and measured ~8% slower.
+            # pad_cols zero columns ride along in the same stack (free).
+            # Layout note: a scan-major (NX, nf, ncol, B) assembly (grid
+            # axis leading, no transpose before the factor scan) was
+            # MEASURED SLOWER end-to-end for the default XLA solver
+            # (1534 vs 1604 pps) — XLA fuses the rc-major transpose into
+            # the scan's consumption for free, while scan-major assembly
+            # scatters every entry across sublane-interleaved slabs.
             return jnp.stack([
                 jnp.stack([jnp.broadcast_to(entries.get((i, j), zrow),
                                             (nx, bt)).astype(y.dtype)
-                           for j in range(nf)], 0)
+                           for j in range(nf)] + [zrow] * pad_cols, 0)
                 for i in range(nf)], 0)
 
         # ---- rate-law partials (shared by rows 0-6) ----------------------
@@ -704,11 +712,16 @@ class MethanationModel:
     # for the y_m/y slots (kept as the autodiff cross-check path); "ad" =
     # all 28 passes by linearize.
     jac_mode: str = "full"
-    # Linear solver for the Newton updates: "thomas" = sequential block-
-    # Thomas scan over NX; "cr" = log-depth block cyclic reduction (same
-    # factors reused across modified-Newton/lag iterations; ~2-3x the block
-    # FLOPs for ~8x fewer sequential stages — see docs/PERF.md).
-    solver: str = "thomas"
+    # Linear solver for the Newton updates: "auto"/"thomas" = sequential
+    # block-Thomas scan over NX (the measured end-to-end winner);
+    # "thomas_pl" = streaming Pallas factor+apply kernels
+    # (ops/thomas_pallas.py — win their microbenches but lose ~6% end-to-
+    # end to lost fusion at the kernel boundaries, see
+    # ops.dae_fast.resolve_solver); "cr" = log-depth block cyclic
+    # reduction (same factors reused across modified-Newton/lag
+    # iterations; ~2-3x the block FLOPs for ~8x fewer sequential stages —
+    # see docs/PERF.md).
+    solver: str = "auto"
     # Particles are processed in chunks of (chunk x n_data) simultaneous DAE
     # systems (lax.map over chunks): bounds the live Jacobian working set
     # (4 x 49 x NX x chunk x n_data x 4B) instead of materializing all
@@ -819,8 +832,14 @@ class MethanationModel:
         def rows(y_m, y, y_p, yd):
             return _rows_bl(y_m, y, y_p, yd, flags, condv, kin_bl)
 
-        ajac = {"full": lambda: _analytic_full_jac(flags, condv, kin_bl),
-                "cd": lambda: _analytic_CD_jac(flags, condv),
+        from smc_tpu.ops.dae_fast import resolve_solver
+        solver = resolve_solver(self.solver)
+        # Pallas factor path: the analytic jacs emit column-padded blocks
+        # directly so no standalone pad copies sit before the kernel.
+        pad = 1 if (solver == "thomas_pl" and not self.pivot) else 0
+        ajac = {"full": lambda: _analytic_full_jac(flags, condv, kin_bl,
+                                                   pad_cols=pad),
+                "cd": lambda: _analytic_CD_jac(flags, condv, pad_cols=pad),
                 "ad": lambda: None}[self.jac_mode]()
         yf = bdf_march_bl(rows, y0, self._dts(),
                           newton_iters=self.newton_iters, pivot=self.pivot,
@@ -829,7 +848,7 @@ class MethanationModel:
                           n_dense=self._n_dense_eff,
                           reuse_iters=self.reuse_iters,
                           dense_tail=self.dense_tail,
-                          solver=self.solver)
+                          solver=solver)
         flows = (yf[:5, -1, :] * yf[6, -1, :] * AREA * 60.0 * R_GAS * 298.0
                  / P_STP * 1e6)                            # (5, B)
         flows = flows.reshape(5, n, nc)

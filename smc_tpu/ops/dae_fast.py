@@ -212,6 +212,10 @@ def block_thomas_factor(A, B, C):
         LU = lu7_nopivot(Bp)
         return LU, (LU, m)
 
+    # NOTE: a "concat-free" variant (full-length scan, identity LU carry +
+    # C carried through the loop) was measured ~19% SLOWER end-to-end on
+    # v5e than these two output concatenates — scanned inputs pipeline,
+    # carried blocks serialize. Keep the concats.
     LU0 = lu7_nopivot(B[0])
     _, (LUs, ms) = lax.scan(fwd, LU0, (A[1:], B[1:], C[:-1]),
                             unroll=_NX_UNROLL)
@@ -263,24 +267,40 @@ def block_thomas_factor_apply(A, B, C, rhs):
 
 
 def block_thomas_apply(LUs, ms, C, rhs):
-    """Solve phase with stored factors: one fwd rhs sweep + one back-sub."""
+    """Solve phase with stored factors: one fwd rhs sweep + one back-sub.
+
+    Accepts column-padded factors (nf, nfp>=nf, B) blocks as produced by
+    the Pallas factor kernel (thomas_pallas.block_thomas_factor_pl): the
+    pad columns are dropped by value slices inside the scan bodies, which
+    fuse into the block algebra (no materialized copies)."""
+    nf = rhs.shape[1]
+    # Column-padded factors (Pallas factor kernel output) are consumed by
+    # carrying the sweep vectors at the padded width with zero tail rows —
+    # the pad columns multiply zeros, exactly. Slicing the scanned blocks
+    # instead ([:, :nf]) materializes a per-iteration block copy; the pads
+    # vanish at trace time for unpadded factors.
+    ext = ms.shape[2] - nf
+    wide = (lambda v: jnp.pad(v, ((0, ext), (0, 0)))) if ext \
+        else (lambda v: v)
+
     def fwd(rp_prev, inp):
         mi, ri = inp
         rp = ri - _matvec_bl(mi, rp_prev)
-        return rp, rp
+        return wide(rp), rp
 
     rp0 = rhs[0]
-    _, rps = lax.scan(fwd, rp0, (ms[1:], rhs[1:]), unroll=_NX_UNROLL)
+    _, rps = lax.scan(fwd, wide(rp0), (ms[1:], rhs[1:]), unroll=_NX_UNROLL)
     rps = jnp.concatenate([rp0[None], rps], axis=0)
 
     xn = lu7_solve(LUs[-1], rps[-1][:, None, :])[:, 0, :]
 
     def bwd(x_next, inp):
         LU, rp, Ci = inp
-        x = lu7_solve(LU, (rp - _matvec_bl(Ci, x_next))[:, None, :])[:, 0, :]
-        return x, x
+        x = lu7_solve(LU, (rp - _matvec_bl(Ci, x_next))[:, None, :]
+                      )[:, 0, :]
+        return wide(x), x
 
-    _, xs = lax.scan(bwd, xn, (LUs[:-1], rps[:-1], C[:-1]),
+    _, xs = lax.scan(bwd, wide(xn), (LUs[:-1], rps[:-1], C[:-1]),
                      reverse=True, unroll=_NX_UNROLL)
     return jnp.concatenate([xs, xn[None]], axis=0)
 
@@ -448,6 +468,22 @@ def block_thomas_bl(A, B, C, rhs, pivot: bool = True):
     return jnp.concatenate([xs, xn[None]], axis=0)
 
 
+def resolve_solver(solver: str) -> str:
+    """Resolve the "auto" solver choice at trace time.
+
+    "auto" -> the plain XLA block-Thomas scan everywhere: the streaming
+    Pallas factor/apply kernels ("thomas_pl", ops/thomas_pallas.py) win
+    their microbenches (factor 1.65 -> ~1.1 ms, apply 1.26 -> 0.67 ms at
+    the flagship shape) but measured ~6% SLOWER end-to-end on v5e
+    (1500 vs 1604 particles/s) — the march's XLA sweeps fuse with the
+    surrounding Jacobian builds, while the opaque kernels force padded
+    materialization at their boundaries. Kept as an explicit opt-in for
+    re-evaluation on larger NX / other chips."""
+    if solver == "auto":
+        return "thomas"
+    return solver
+
+
 def bdf_march_bl(rows_bl: Callable,
                  y0: jnp.ndarray,
                  dts: jnp.ndarray,
@@ -489,6 +525,11 @@ def bdf_march_bl(rows_bl: Callable,
     step is exact regardless of factor staleness.
     """
     nf, nx, bt = y0.shape
+    solver = resolve_solver(solver)
+    # thomas_pl consumes column-padded (nf, 8, ...) blocks (sublane-aligned
+    # row DMAs); emit the pad at block-assembly time so no standalone pad
+    # copies appear between the build and the factor kernel.
+    pad_cols = ((-nf) % 8) if (solver == "thomas_pl" and not pivot) else 0
 
     def shift(y):
         y_m = jnp.concatenate([y[:, :1], y[:, :-1]], axis=1)
@@ -524,10 +565,19 @@ def bdf_march_bl(rows_bl: Callable,
                 e = jnp.zeros((nf, 1, 1), y0.dtype).at[f, 0, 0].set(1.0)
                 tang[s] = jnp.broadcast_to(e, y.shape).astype(y0.dtype)
                 cols.append(lin(*tang))          # (7, NX, B)
-            blocks[s] = jnp.stack(cols, axis=1)  # (7rows, 7cols, NX, B)
+            cols += [jnp.zeros_like(cols[0])] * pad_cols
+            blocks[s] = jnp.stack(cols, axis=1)  # (7rows, ncols, NX, B)
+        if pad_cols:
+            # analytic slots that were not emitted pre-padded
+            for s, blk in blocks.items():
+                if blk.shape[1] == nf:
+                    blocks[s] = jnp.pad(
+                        blk, ((0, 0), (0, pad_cols), (0, 0), (0, 0)))
         A_, B_, C_, D_ = blocks[0], blocks[1], blocks[2], blocks[3]
         B_ = B_ + D_ * (alpha / h)
-        # (7,7,NX,B) -> (NX,7,7,B) for the scan
+        # (7,ncol,NX,B) -> (NX,7,ncol,B) for the scan; XLA fuses this
+        # transpose into the scans' consumption (a scan-major assembly
+        # upstream measured slower — see methanation._analytic_full_jac).
         to_scan = lambda M: jnp.moveaxis(M, 2, 0)
         A_, B_, C_ = to_scan(A_), to_scan(B_), to_scan(C_)
         # fold duplicated edge slots
@@ -538,9 +588,18 @@ def bdf_march_bl(rows_bl: Callable,
         return A_, B_, C_, -jnp.moveaxis(F, 1, 0)
 
     def factor_(A_, B_, C_):
-        # solver="cr": log-depth cyclic reduction; "thomas": sequential scan.
+        # solver="cr": log-depth cyclic reduction; "thomas": sequential scan;
+        # "thomas_pl": ONE streaming Pallas kernel instead of the scan's
+        # ~300 micro-ops per grid row (the march's dominant fixed cost —
+        # measured 1.65 ms -> Pallas per factor sweep at the flagship
+        # shape). The applies stay on the XLA scan, which already runs at
+        # the HBM floor and consumes the kernel's column-padded factors
+        # via fused value slices.
         if solver == "cr":
             return block_cr_factor(A_, B_, C_)
+        if solver == "thomas_pl":
+            from smc_tpu.ops.thomas_pallas import block_thomas_factor_pl
+            return block_thomas_factor_pl(A_, B_, C_)
         LUs, ms = block_thomas_factor(A_, B_, C_)
         return (LUs, ms, C_)
 

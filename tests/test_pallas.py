@@ -92,3 +92,36 @@ def test_mm_model_pallas_method():
     np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_rk), rtol=1e-4,
                                atol=0.05)
     assert preds is None
+
+
+def test_block_thomas_pallas_matches_scan():
+    """Streaming + tiled Pallas block-Thomas applies match the XLA scan
+    (interpret mode on CPU), incl. the padded-factor contract the DAE
+    march's "thomas_pl" path uses."""
+    from smc_tpu.ops.dae_fast import block_thomas_factor, block_thomas_apply
+    from smc_tpu.ops.thomas_pallas import (block_thomas_apply_pl,
+                                           block_thomas_apply_tiled,
+                                           pad_factors)
+    rng = np.random.default_rng(0)
+    nx, nf, b = 9, 7, 256
+    A = rng.normal(size=(nx, nf, nf, b)).astype(np.float32) * 0.3
+    B = (rng.normal(size=(nx, nf, nf, b)).astype(np.float32)
+         + 4.0 * np.eye(nf)[None, :, :, None].astype(np.float32))
+    C = rng.normal(size=(nx, nf, nf, b)).astype(np.float32) * 0.3
+    A[0] = 0.0
+    C[-1] = 0.0
+    r = rng.normal(size=(nx, nf, b)).astype(np.float32)
+    A, B, C, r = map(jnp.asarray, (A, B, C, r))
+    LUs, ms = block_thomas_factor(A, B, C)
+    x_ref = np.asarray(jax.jit(block_thomas_apply)(LUs, ms, C, r))
+    scale = np.abs(x_ref).max()
+    x_st = np.asarray(block_thomas_apply_pl(*pad_factors(LUs, ms, C), r,
+                                            interpret=True))
+    np.testing.assert_allclose(x_st / scale, x_ref / scale, atol=2e-5)
+    x_ti = np.asarray(block_thomas_apply_tiled(LUs, ms, C, r,
+                                               interpret=True))
+    np.testing.assert_allclose(x_ti / scale, x_ref / scale, atol=2e-5)
+    # Non-TPU backend guard: compiled call falls back to the XLA scan,
+    # slicing padded factor rows — bitwise-equal to the reference.
+    x_fb = np.asarray(block_thomas_apply_pl(*pad_factors(LUs, ms, C), r))
+    assert (x_fb == x_ref).all()
