@@ -56,7 +56,7 @@ _GROUP_RES = [
 
 
 def parse(outdir):
-    paths = glob.glob(outdir + "/**/trace.json.gz", recursive=True)
+    paths = glob.glob(outdir + "/**/*trace.json.gz", recursive=True)
     if not paths:
         raise SystemExit(f"no trace.json.gz under {outdir}")
     path = max(paths, key=lambda p: p)  # latest session

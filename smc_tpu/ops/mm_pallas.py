@@ -75,7 +75,15 @@ _RAT_LN = (-1.90924131, 1.42049899, 0.487393935, 0.00826609657,
 
 def _lambertw_fast(z, logz, iters: int = 2):
     """W(z) given both z and logz = ln z, transcendental-minimal:
-    rational initializer + ``iters`` Halley steps (one exp each)."""
+    rational initializer + ``iters`` Halley steps (one exp each).
+
+    Measured NEGATIVE variant (benchmarks/ab_halley_exp.py, same-process
+    A/B on one v5e): replacing the second Halley exp with a 3rd-order
+    Taylor update of the first (numerically exact at fp32 — post-init
+    corrections are ~3e-3) ran 1.05 vs 1.00 ms/sweep. The kernel is
+    VECTOR-OP-COUNT bound, not transcendental bound: the VPU's exp is
+    about as cheap as the 4 FMAs that would replace it, and the Taylor
+    factor lengthens the serial dependency chain. Keep the plain form."""
     a1, a2, a3, b1, b2, b3 = _PADE_W
     w_small = z * (1.0 + z * (a1 + z * (a2 + z * a3))) \
         / (1.0 + z * (b1 + z * (b2 + z * b3)))
@@ -91,6 +99,9 @@ def _lambertw_fast(z, logz, iters: int = 2):
         denom = ew * (w + 1.0) - (w + 2.0) * f / (2.0 * w + 2.0)
         w = w - f / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
     return w
+
+
+_SUBP = 16   # particle-block sublanes: each op runs on dense (16, 128) tiles
 
 
 def _mm_exact_kernel(vmax_ref, km_ref, sig_ref, s0_ref, obs_ref, ll_ref, *,
@@ -109,37 +120,45 @@ def _mm_exact_kernel(vmax_ref, km_ref, sig_ref, s0_ref, obs_ref, ll_ref, *,
     observation point vs ~7 for the materialized jnp path — and zero HBM
     traffic for intermediates.
 
+    Layout: the particle block rides as a dense (SUBP, 128) = (sublane,
+    lane) tile grid and the dataset axis is the UNTILED leading dim — a
+    flat (n_ds, block) layout pads the 6-dataset axis to 8 sublanes and
+    wastes 25% of every VPU issue (measured 1.00 -> 0.80 ms/sweep at 1e5;
+    the kernel is vector-op-count-bound, benchmarks/ab_halley_exp.py).
+    s0/obs arrive pre-broadcast over lanes (host-side, tiny) so no
+    sublane-axis relayouts happen inside the time loop.
+
     Tail deviation vs the jnp "exact" path: z is clipped to e^+-60 at t=0
     only (the recurrence then evolves freely) where the jnp path re-clips
     at every grid point; they differ only for parameter draws with
     |ln z| > 60 (Km near 0), where both are saturated approximations and
     the likelihood is astronomically rejected anyway.
     """
-    Vmax = vmax_ref[:]                       # (1, Bt)
-    Km = jnp.maximum(km_ref[:], 1e-8)
-    s0 = s0_ref[:]                           # (n_ds, 1)
-    obs = obs_ref[:]                         # (n_ds, n_obs)
-    inv_km = 1.0 / Km                        # (1, Bt)
-    bdt = Vmax * dt * inv_km                 # (1, Bt)
+    Vmax = vmax_ref[0]                       # (SUBP, L)
+    Km = jnp.maximum(km_ref[0], 1e-8)
+    sub, lane = Vmax.shape
+    s0 = jnp.broadcast_to(s0_ref[:], (n_ds, 1, lane))    # (n_ds, 1, L)
+    inv_km = 1.0 / Km                        # (SUBP, L)
+    bdt = Vmax * dt * inv_km
     decay = jnp.exp(-bdt)                    # 1 exp per particle per sweep
-    logz = jnp.log(Km) * (-1.0) + jnp.log(s0) + s0 * inv_km  # (n_ds, Bt)
-    z = jnp.exp(jnp.clip(logz, -60.0, 60.0))
+    logz = (jnp.log(Km) * (-1.0))[None] + jnp.log(s0) + s0 * inv_km[None]
+    z = jnp.exp(jnp.clip(logz, -60.0, 60.0))  # (n_ds, SUBP, L)
 
     # t = 0: S = s0 exactly, no solve needed.
-    r0 = jnp.broadcast_to(obs[:, 0:1], (n_ds, Vmax.shape[1]))
+    r0 = jnp.broadcast_to(obs_ref[0], (n_ds, sub, lane))
     acc = r0 * r0
     for i in range(1, n_obs):
-        z = z * decay
-        logz = logz - bdt
+        z = z * decay[None]
+        logz = logz - bdt[None]
         w = _lambertw_fast(z, logz, iters)
-        r = obs[:, i:i + 1] - (s0 - Km * w)
+        r = obs_ref[i] - (s0 - Km[None] * w)
         acc = acc + r * r
 
-    sigma = jnp.maximum(sig_ref[:], 1e-12)
+    sigma = jnp.maximum(sig_ref[0], 1e-12)
     ll = (-0.5 * n_obs * n_ds * (_LOG2PI + 2.0 * jnp.log(sigma))
-          - jnp.sum(acc, axis=0, keepdims=True) / (2.0 * sigma * sigma))
-    bad = (sig_ref[:] <= 0.0) | ~(ll == ll)
-    ll_ref[:] = jnp.where(bad, -jnp.inf, ll)
+          - jnp.sum(acc, axis=0) / (2.0 * sigma * sigma))
+    bad = (sig_ref[0] <= 0.0) | ~(ll == ll)
+    ll_ref[0] = jnp.where(bad, -jnp.inf, ll)
 
 
 @functools.partial(jax.jit, static_argnames=("dt", "block", "iters",
@@ -149,36 +168,47 @@ def mm_loglik_exact_pallas(theta: jnp.ndarray, obs: jnp.ndarray,
                            iters: int = 2, interpret: bool = False
                            ) -> jnp.ndarray:
     """theta (N, 3), obs (n_ds, T), s0 (n_ds,) -> ll (N,). Closed-form MM
-    likelihood as one fused VMEM-resident kernel (see _mm_exact_kernel)."""
+    likelihood as one fused VMEM-resident kernel (see _mm_exact_kernel).
+    ``block`` = particles per grid step, a multiple of 16*128 = 2048 (the
+    dense (sublane, lane) particle tile)."""
     n = theta.shape[0]
     n_ds, n_obs = obs.shape
-    block = min(block, n)
+    lane = 128
+    tile = _SUBP * lane
+    block = max(tile, (block // tile) * tile)
     n_pad = -(-n // block) * block
     if n_pad != n:
         pad = jnp.ones((n_pad - n, 3), theta.dtype)
         theta = jnp.concatenate([theta, pad], axis=0)
+    sub = block // lane
 
     kern = functools.partial(_mm_exact_kernel, n_obs=n_obs, dt=dt,
                              n_ds=n_ds, iters=iters)
     grid = (n_pad // block,)
-    lane_spec = pl.BlockSpec((1, block), lambda i: (0, i),
+    col = lambda k: theta[:, k].reshape(n_pad // block, sub, lane)
+    part_spec = pl.BlockSpec((1, sub, lane), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
+    # s0 / obs pre-broadcast over lanes (tiny, once per call) so the time
+    # loop never relayouts the untiled dataset axis.
+    s0b = jnp.broadcast_to(s0[:, None, None], (n_ds, 1, lane))
+    obsb = jnp.broadcast_to(obs.T[:, :, None, None],
+                            (n_obs, n_ds, 1, lane))
     ll = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            lane_spec, lane_spec, lane_spec,
-            pl.BlockSpec((n_ds, 1), lambda i: (0, 0),
+            part_spec, part_spec, part_spec,
+            pl.BlockSpec((n_ds, 1, lane), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_ds, n_obs), lambda i: (0, 0),
+            pl.BlockSpec((n_obs, n_ds, 1, lane), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=lane_spec,
-        out_shape=jax.ShapeDtypeStruct((1, n_pad), theta.dtype),
+        out_specs=part_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad // block, sub, lane),
+                                       theta.dtype),
         interpret=interpret,
-    )(theta[:, 0][None], theta[:, 1][None], theta[:, 2][None],
-      s0[:, None], obs)
-    return ll[0, :n]
+    )(col(0), col(1), col(2), s0b, obsb)
+    return ll.reshape(n_pad)[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("dt", "substeps", "block",

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from smc_tpu.config import SMCConfig
+from smc_tpu.ops.ladder_pallas import ladder_stats
 from smc_tpu.priors import Prior
 
 
@@ -80,6 +81,23 @@ def find_gamma(log_lik: jnp.ndarray, gamma_old: jnp.ndarray,
         cfg.gamma_reduction_rate ** ks.astype(d_ll.dtype))
 
     n_cand = gammas.shape[0]
+    if jax.default_backend() == "tpu":
+        # Pallas streaming ladder: one pass over d_ll with VMEM-resident
+        # per-candidate accumulators (ops/ladder_pallas.py). The XLA
+        # (K, N) fusion below measured 878 us/step at 1e5 (~25x its
+        # compute bound — minor-axis row reductions re-materialize the
+        # exp lanes); the kernel runs the same sums in ~40 us, constant
+        # VMEM at any N, so no chunked fallback is needed.
+        s1, s2 = ladder_stats(d_ll, gammas - gamma_old)
+        ess_all = (s1 * s1 / (s2 * n)).astype(d_ll.dtype)
+        ok = ess_all > cfg.ess_limit
+        idx = jnp.where(jnp.any(ok), jnp.argmax(ok), n_cand - 1)
+        idx = idx.astype(jnp.int32)
+        gamma = gammas[idx]
+        weights = jnp.exp(d_ll * (gamma - gamma_old))
+        weights = weights / jnp.sum(weights)
+        return GammaResult(gamma, weights, ess_all[idx], idx, max_ll)
+
     if n * n_cand <= (1 << 25):
         # Small-N fast path: all candidates in ONE fused pass — the chunked
         # while_loop's sequential rounds cost more in loop latency than the
@@ -319,7 +337,8 @@ def residual_systematic_apply(key: jax.Array, weights: jnp.ndarray,
     dv = jnp.concatenate([bundle[:, :1],
                           bundle[:, 1:] - bundle[:, :-1]], axis=1)
     _, offsets = _rs_counts_offsets(key, weights)
-    filled = jnp.zeros_like(bundle).at[:, offsets].add(dv, mode="drop")
+    filled = jnp.zeros_like(bundle).at[:, offsets].add(
+        dv, mode="drop", indices_are_sorted=True)
     out = jnp.cumsum(filled, axis=1).T                # (N, K)
     res = []
     k0 = 0

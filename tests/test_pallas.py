@@ -125,3 +125,20 @@ def test_block_thomas_pallas_matches_scan():
     # slicing padded factor rows — bitwise-equal to the reference.
     x_fb = np.asarray(block_thomas_apply_pl(*pad_factors(LUs, ms, C), r))
     assert (x_fb == x_ref).all()
+
+
+def test_ladder_stats_matches_jnp():
+    """Streaming Pallas gamma-ladder sums (interpret mode) match the jnp
+    (K, N) formulation — incl. -inf failure sentinels and a non-tile-
+    multiple N (padding tail must contribute exactly zero)."""
+    from smc_tpu.ops.ladder_pallas import ladder_stats
+    rng = np.random.default_rng(3)
+    n, k = 9000, 81  # not a multiple of the 8192 tile
+    d_ll = -np.abs(rng.normal(size=n)).astype(np.float32) * 5.0
+    d_ll[::97] = -np.inf  # failed-particle sentinels
+    dg = (0.3 * 0.7 ** np.arange(k)).astype(np.float32)
+    s1, s2 = ladder_stats(jnp.asarray(d_ll), jnp.asarray(dg),
+                          interpret=True)
+    w = np.exp(d_ll[None, :].astype(np.float64) * dg[:, None])
+    np.testing.assert_allclose(np.asarray(s1), w.sum(1), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(s2), (w * w).sum(1), rtol=2e-5)
