@@ -25,7 +25,16 @@ from jax import lax
 
 from smc_tpu.config import SMCConfig
 from smc_tpu.ops.ladder_pallas import ladder_stats
+from smc_tpu.ops.resample_pallas import (MIN_N as _MERGE_MIN_N,
+                                         sorted_offsets_to_ancestors)
 from smc_tpu.priors import Prior
+
+
+def _use_merge_kernel(n: int) -> bool:
+    """TPU scatters serialize on the scalar core (~9 cycles/index); above
+    MIN_N the streaming merge kernel (ops/resample_pallas.py) builds the
+    ancestor ladder with vector compares instead. Patchable in tests."""
+    return n >= _MERGE_MIN_N and jax.default_backend() == "tpu"
 
 
 # --------------------------------------------------------------------------
@@ -296,6 +305,8 @@ def residual_systematic_ancestors(key: jax.Array, weights: jnp.ndarray
     counts_to_ancestors(residual_systematic_counts(...))."""
     n = weights.shape[0]
     _, offsets = _rs_counts_offsets(key, weights)
+    if _use_merge_kernel(n):
+        return sorted_offsets_to_ancestors(offsets)
     hist = jnp.zeros(n, jnp.int32).at[offsets].add(1, mode="drop")
     return jnp.cumsum(hist) - 1
 
@@ -334,12 +345,19 @@ def residual_systematic_apply(key: jax.Array, weights: jnp.ndarray,
         cols.append(jax.lax.bitcast_convert_type(
             v.reshape(n, -1), jnp.int32))
     bundle = jnp.concatenate(cols, axis=1).T          # (K, N), lanes on N
-    dv = jnp.concatenate([bundle[:, :1],
-                          bundle[:, 1:] - bundle[:, :-1]], axis=1)
     _, offsets = _rs_counts_offsets(key, weights)
-    filled = jnp.zeros_like(bundle).at[:, offsets].add(
-        dv, mode="drop", indices_are_sorted=True)
-    out = jnp.cumsum(filled, axis=1).T                # (N, K)
+    if _use_merge_kernel(n):
+        # Merge kernel builds the (sorted) ancestors without any scatter;
+        # the permutation is then ONE sorted lane-axis gather of the whole
+        # bundle (258 us at 1e5 vs the scatter's 897 — micro_permute.py).
+        anc = sorted_offsets_to_ancestors(offsets)
+        out = jnp.take(bundle, anc, axis=1, indices_are_sorted=True).T
+    else:
+        dv = jnp.concatenate([bundle[:, :1],
+                              bundle[:, 1:] - bundle[:, :-1]], axis=1)
+        filled = jnp.zeros_like(bundle).at[:, offsets].add(
+            dv, mode="drop", indices_are_sorted=True)
+        out = jnp.cumsum(filled, axis=1).T            # (N, K)
     res = []
     k0 = 0
     for shape in shapes:
@@ -365,6 +383,8 @@ def counts_to_ancestors(counts: jnp.ndarray) -> jnp.ndarray:
     """
     n = counts.shape[0]
     offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
+    if _use_merge_kernel(n):
+        return sorted_offsets_to_ancestors(offsets)
     hist = jnp.zeros(n, jnp.int32).at[offsets].add(1, mode="drop")
     return jnp.cumsum(hist) - 1
 
