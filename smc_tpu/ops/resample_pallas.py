@@ -58,16 +58,18 @@ from jax.experimental.pallas import tpu as pltpu
 _LANE = 128
 _SUBS = 8     # static sub-columns per tile (the j residue classes)
 _T = _LANE * _SUBS   # 1024 output slots per grid step
-_W = 512      # offsets per streamed chunk (lane-major, 128-aligned)
+_W = 1024     # offsets per streamed chunk (lane-major, 128-aligned);
+              # tile/w swept in benchmarks/tune_merge.py: 1024/1024 wins
+              # at both 1e5 (156 us) and 1e6 (1.65 ms) over 512-4096 combos
 # Below this size the fixed pallas_call cost beats the scatter's per-index
 # cost; the XLA construction is kept for tiny N (and non-TPU backends).
 MIN_N = 4096
 
 
 def _merge_kernel(last_ref, first_ref, offs_hbm, out_ref,
-                  offs_buf, c_ref, sem, *, n_chunks):
+                  offs_buf, c_ref, sem, *, n_chunks, tile, w):
     t = pl.program_id(0)
-    tile_end = (t + 1) * _T - 1
+    tile_end = (t + 1) * tile - 1
 
     @pl.when(t == 0)
     def _():
@@ -77,8 +79,9 @@ def _merge_kernel(last_ref, first_ref, offs_hbm, out_ref,
     pltpu.make_async_copy(offs_hbm.at[c0], offs_buf.at[c0 % 2],
                           sem.at[c0 % 2]).start()
 
-    # j for sub-column s: t*T + 8*r + s over sublanes r.
-    r8 = 8 * jax.lax.broadcasted_iota(jnp.int32, (_LANE, 1), 0) + t * _T
+    subs = tile // _LANE
+    # j for sub-column s: t*tile + subs*r + s over sublanes r.
+    r8 = subs * jax.lax.broadcasted_iota(jnp.int32, (_LANE, 1), 0) + t * tile
 
     def cond(state):
         return state[1]
@@ -100,30 +103,34 @@ def _merge_kernel(last_ref, first_ref, offs_hbm, out_ref,
                               sem.at[slot]).wait()
         offs = offs_buf[slot]                       # (1, W) int32, sorted
         cols = []
-        for s in range(_SUBS):                      # static unroll
+        for s in range(subs):                       # static unroll
             e = (offs <= (r8 + s)).astype(jnp.int32)     # (LANE, W)
             cols.append(jnp.sum(e, axis=1, keepdims=True))
-        acc = acc + jnp.concatenate(cols, axis=1)   # (LANE, SUBS)
+        acc = acc + jnp.concatenate(cols, axis=1)   # (LANE, subs)
         best = jnp.where(first_ref[c] <= tile_end, c, best)
         return (c + 1, need_next, best, acc)
 
-    acc0 = jnp.zeros((_LANE, _SUBS), jnp.int32)
+    acc0 = jnp.zeros((_LANE, subs), jnp.int32)
     always = tile_end >= 0        # the start chunk is always processed
     _, _, best, acc = jax.lax.while_loop(cond, body, (c0, always, c0, acc0))
     # Offsets in chunks before c0 are all <= this tile's first slot
     # (they are <= the previous tile's end by the cursor invariant).
-    out_ref[0] = acc + (c0 * _W - 1)
+    out_ref[0] = acc + (c0 * w - 1)
     c_ref[0] = best
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "tile", "w"))
 def sorted_offsets_to_ancestors(offsets: jnp.ndarray,
-                                interpret: bool = False) -> jnp.ndarray:
+                                interpret: bool = False,
+                                tile: int = _T, w: int = _W) -> jnp.ndarray:
     """a[j] = max{i : offsets[i] <= j} for sorted int32 offsets in [0, n].
 
     Bitwise-identical to the scatter construction
     ``cumsum(zeros.at[offsets].add(1)) - 1`` (which is used off-TPU and
-    below MIN_N, where the kernel's fixed cost doesn't pay).
+    below MIN_N, where the kernel's fixed cost doesn't pay). tile/w (the
+    output slots per grid step and offsets per streamed chunk) are the
+    measured optimum; exposed for the tuning sweep in
+    benchmarks/ab_merge_anc.py.
     """
     n = offsets.shape[0]
     if (n < MIN_N and not interpret) or (
@@ -132,34 +139,36 @@ def sorted_offsets_to_ancestors(offsets: jnp.ndarray,
             1, mode="drop", indices_are_sorted=True)
         return jnp.cumsum(hist) - 1
 
-    n_tiles = -(-n // _T)
-    np_out = n_tiles * _T
-    n_chunks = -(-n // _W)
-    np_in = n_chunks * _W
+    assert tile % _LANE == 0 and w % _LANE == 0
+    n_tiles = -(-n // tile)
+    np_out = n_tiles * tile
+    n_chunks = -(-n // w)
+    np_in = n_chunks * w
     # Sentinel pad: np_out exceeds every output slot index, so padded
     # entries are never counted. (Real offsets may equal n < np_out; they
     # only affect the sliced-away padded slots.)
     offs_p = jnp.pad(offsets.astype(jnp.int32), (0, np_in - n),
                      constant_values=np_out)
-    chunk_last = offs_p[_W - 1::_W]
-    chunk_first = offs_p[0::_W]
-    offs_r = offs_p.reshape(n_chunks, 1, _W)
+    chunk_last = offs_p[w - 1::w]
+    chunk_first = offs_p[0::w]
+    offs_r = offs_p.reshape(n_chunks, 1, w)
 
     out = pl.pallas_call(
-        functools.partial(_merge_kernel, n_chunks=n_chunks),
+        functools.partial(_merge_kernel, n_chunks=n_chunks, tile=tile, w=w),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((1, _LANE, _SUBS),
+            out_specs=pl.BlockSpec((1, _LANE, tile // _LANE),
                                    lambda i, *_: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, 1, _W), jnp.int32),   # offset chunk window
+                pltpu.VMEM((2, 1, w), jnp.int32),    # offset chunk window
                 pltpu.SMEM((1,), jnp.int32),         # merge cursor
                 pltpu.SemaphoreType.DMA((2,)),
             ]),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, _LANE, _SUBS), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, _LANE, tile // _LANE),
+                                       jnp.int32),
         # The SMEM cursor carries across grid steps: forbid parallelization.
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
