@@ -46,7 +46,7 @@ def _cpu_baseline_updates_per_sec(n_probe: int = 30) -> float:
 
 def main():
     import jax
-    from smc_tpu import SMCConfig, run_smc_on_device
+    from smc_tpu import SMCConfig
     from smc_tpu.models.michaelis_menten import MichaelisMentenModel
 
     n = 100_000
@@ -60,24 +60,35 @@ def main():
     model = MichaelisMentenModel.default(method="pallas_exact")
     cfg = SMCConfig(n_particles=n)
 
-    # Deployment mode: the ENTIRE tempered-SMC run (init -> gamma=1) is one
-    # fused XLA program; throughput = executed weight updates / wall clock.
-    # Warm-up run compiles; timed runs reuse the executable with new keys.
-    from smc_tpu.smc.driver import make_run_on_device
-    run_fn = make_run_on_device(model, cfg)
-    s = run_smc_on_device(model, cfg, jax.random.key(0), run_fn=run_fn)
+    # Deployment mode: the ENTIRE tempered-SMC run (prior draw + init sweep
+    # + all tempering steps to gamma=1) is ONE fused XLA program — a run
+    # costs a single device dispatch. Runs are software-pipelined: run k's
+    # scalars (gamma check + executed-update count) are fetched while run
+    # k+1 executes, so the per-run tunnel round-trip (~20 ms/scalar on this
+    # session) hides behind device compute. Warm-up run compiles; timed
+    # runs reuse the executable with new keys.
+    from smc_tpu.smc.driver import make_full_run_on_device
+    run_fn = make_full_run_on_device(model, cfg)
+    s = run_fn(jax.random.key(0))
     jax.block_until_ready(s.particles)
+    assert float(s.gamma) == 1.0
 
     t0 = time.perf_counter()
     updates = 0.0
+    pending = []
     seed = 1
     while time.perf_counter() - t0 < 10.0:
-        s = run_smc_on_device(model, cfg, jax.random.key(seed),
-                              run_fn=run_fn)
-        jax.block_until_ready(s.particles)
-        assert float(s.gamma) == 1.0
-        updates += float(s.total_lik_evals)
+        s = run_fn(jax.random.key(seed))
+        pending.append((s.gamma, s.total_lik_evals))
         seed += 1
+        if len(pending) > 1:
+            g, e = jax.device_get(pending.pop(0))
+            assert float(g) == 1.0
+            updates += float(e)
+    for p in pending:                      # drain inside the timed window
+        g, e = jax.device_get(p)
+        assert float(g) == 1.0
+        updates += float(e)
     dt = time.perf_counter() - t0
     ups = updates / dt
 

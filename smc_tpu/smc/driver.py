@@ -190,6 +190,36 @@ def make_run_on_device(model, cfg: SMCConfig, psharding=None):
     return _run
 
 
+def make_full_run_on_device(model, cfg: SMCConfig, psharding=None):
+    """ONE jitted program: PRNG key -> completed SMCState at gamma = 1.
+
+    Unlike ``make_run_on_device`` (state -> state), the prior draw and the
+    initial likelihood sweep are traced INTO the program, so a deployment
+    run costs a single device dispatch. Measured on the one-chip tunnel at
+    1e5 particles (benchmarks/ab_full_run.py): the separate init path
+    spends ~39 ms/run on the ~6 small init dispatches alone — more than
+    the 29 ms the whole fused program takes on the TensorCore.
+    """
+    def cond(s: SMCState):
+        return (s.step < cfg.max_steps) & (s.gamma < 1.0)
+
+    def body(s: SMCState):
+        return smc_step(s, model.log_likelihood, model.prior, cfg,
+                        psharding=psharding)
+
+    @jax.jit
+    def _full(key):
+        s = init_state(key, model, cfg)
+        if psharding is not None:
+            s = s.replace(
+                particles=lax.with_sharding_constraint(s.particles,
+                                                       psharding),
+                log_lik=lax.with_sharding_constraint(s.log_lik, psharding))
+        return lax.while_loop(cond, body, s)
+
+    return _full
+
+
 def run_smc_on_device(model, cfg: SMCConfig, key: jax.Array,
                       state: Optional[SMCState] = None,
                       psharding=None, run_fn=None) -> SMCState:

@@ -45,6 +45,28 @@ def test_mm_posterior_fused_device_loop(model):
     _check_posterior(np.asarray(state.particles))
 
 
+def test_mm_posterior_full_run_program(model):
+    """The key->posterior single-program path (make_full_run_on_device,
+    init traced into the run) must agree with the state->state fused loop
+    fed the identically-constructed init state: both trace the same ops on
+    the same key, so the results match to compilation-fusion noise."""
+    from smc_tpu.smc.driver import (init_state, make_full_run_on_device,
+                                    run_smc_on_device)
+
+    cfg = SMCConfig(n_particles=512)
+    full = make_full_run_on_device(model, cfg)
+    s_full = full(jax.random.key(1))
+    assert float(s_full.gamma) == 1.0
+    _check_posterior(np.asarray(s_full.particles))
+    s_sep = run_smc_on_device(model, cfg,
+                              state=init_state(jax.random.key(1), model, cfg),
+                              key=jax.random.key(1))
+    assert int(s_full.step) == int(s_sep.step)
+    np.testing.assert_allclose(np.asarray(s_full.particles),
+                               np.asarray(s_sep.particles),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_rk4_and_exact_likelihoods_agree(model):
     m_rk4 = MichaelisMentenModel.default(method="rk4")
     theta = jnp.asarray([[1.2, 0.5, 0.02], [2.0, 1.0, 0.05], [0.3, 3.0, 0.5]])
