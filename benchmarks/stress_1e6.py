@@ -11,10 +11,10 @@ import time
 import jax
 import numpy as np
 
-from smc_tpu import SMCConfig, run_smc
+from smc_tpu import SMCConfig
 from smc_tpu.models.michaelis_menten import MichaelisMentenModel
-from smc_tpu.parallel.mesh import make_mesh, particle_sharding, shard_state
-from smc_tpu.smc.driver import init_state
+from smc_tpu.parallel.mesh import make_mesh, particle_sharding
+from smc_tpu.smc.driver import make_full_run_on_device
 
 
 def main(n: int = 1_000_000):
@@ -25,22 +25,20 @@ def main(n: int = 1_000_000):
     key = jax.random.key(0)
 
     n_dev = len(jax.devices())
-    psh = None
-    state = None
-    if n_dev > 1:
-        mesh = make_mesh(n_dev)
-        state = shard_state(init_state(key, model, cfg), mesh)
-        psh = particle_sharding(mesh)
+    psh = particle_sharding(make_mesh(n_dev)) if n_dev > 1 else None
 
+    # Deployment shape (same as bench.py): the whole run — prior draw,
+    # init sweep, all tempering steps — is ONE jitted program dispatch.
+    full = make_full_run_on_device(model, cfg, psharding=psh)
     t0 = time.perf_counter()
-    final = run_smc(model, cfg, key, state=state, psharding=psh,
-                    verbose=False)
+    final = full(key)
+    jax.block_until_ready(final.particles)
     wall_cold = time.perf_counter() - t0
     # Warm wall: compile amortized (persistent cache + in-process jit) —
     # the deployment-relevant number for repeat runs.
     t0 = time.perf_counter()
-    final = run_smc(model, cfg, jax.random.key(1), state=state,
-                    psharding=psh, verbose=False)
+    final = full(jax.random.key(1))
+    jax.block_until_ready(final.particles)
     wall = time.perf_counter() - t0
     p = np.asarray(final.particles)
     updates = float(final.total_lik_evals)
