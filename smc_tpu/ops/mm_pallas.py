@@ -60,38 +60,45 @@ def _mm_kernel(vmax_ref, km_ref, sig_ref, s0_ref, obs_ref, ll_ref, *,
     ll_ref[:] = jnp.where(bad, -jnp.inf, ll)
 
 
-# Initializer coefficients (fit offline vs scipy.special.lambertw):
-# - [3/3] Pade of W(z)/z on z in [0, e]   (max rel err 3.7e-6)
-# - [3/3] rational of ln(x) on x in [1, 60] (max abs err 2.8e-3), feeding
-#   the asymptotic w0 = x - ln x + ln x / x for z > e.
-# Combined with 2 Halley corrector iterations (cubic convergence) the
-# result is exact to fp32 over logz in [-60, 60] (1.5e-12 in fp64 sim) —
-# and the initializer itself costs ZERO transcendentals.
+# Initializer coefficients (fit offline vs scipy.special.lambertw,
+# Lawson-reweighted least squares on Chebyshev nodes):
+# - [3/3] Pade of W(z)/z on z in [0, e]              (max rel err 3.7e-6)
+# - [3/3] rational of W(e^u)/u in t = (u - 30.5)/29.5 on u = logz in
+#   [1, 60] (max rel err 1.2e-4 exact, 1.6e-4 evaluated in fp32 — the
+#   W/u form keeps every intermediate O(1) so fp32 Horner is safe, where
+#   a direct rational of W loses 3 digits to edge cancellation).
+# One Halley corrector (cubic: 1.6e-4 -> ~4e-12) makes the result exact
+# to fp32 over logz in [-60, 60]: 2.1e-10 max rel err in fp64 sim, and in
+# fp32 the same ~2.5e-7 (2 ULP roundoff floor) as 2 Halley steps from the
+# round-1 asymptotic-ln initializer. The initializer itself costs ZERO
+# transcendentals, so W is ONE exp per evaluation.
 _PADE_W = (2.0756442, 0.736134059, 0.0134467679,
            3.0754228, 2.31554992, 0.353759838)
-_RAT_LN = (-1.90924131, 1.42049899, 0.487393935, 0.00826609657,
-           1.33212944, 0.144640587, 0.00131222542)
+_GOU = (0.8917337208536824, 1.8982396128879397, 1.2165240727257451,
+        0.20561353314077788,
+        2.0499910593108703, 1.2599020418616451, 0.20550595307370517)
 
 
-def _lambertw_fast(z, logz, iters: int = 2):
+def _lambertw_fast(z, logz, iters: int = 1):
     """W(z) given both z and logz = ln z, transcendental-minimal:
     rational initializer + ``iters`` Halley steps (one exp each).
 
     Measured NEGATIVE variant (benchmarks/ab_halley_exp.py, same-process
-    A/B on one v5e): replacing the second Halley exp with a 3rd-order
-    Taylor update of the first (numerically exact at fp32 — post-init
-    corrections are ~3e-3) ran 1.05 vs 1.00 ms/sweep. The kernel is
+    A/B on one v5e): replacing a Halley exp with a 3rd-order Taylor
+    update of the previous one (numerically exact at fp32 — post-init
+    corrections are small) ran 1.05 vs 1.00 ms/sweep. The kernel is
     VECTOR-OP-COUNT bound, not transcendental bound: the VPU's exp is
     about as cheap as the 4 FMAs that would replace it, and the Taylor
-    factor lengthens the serial dependency chain. Keep the plain form."""
+    factor lengthens the serial dependency chain. Shortening the Halley
+    chain itself (the round-2 [3/3] W/u initializer, good enough for ONE
+    step — benchmarks/ab_one_halley.py) is what pays."""
     a1, a2, a3, b1, b2, b3 = _PADE_W
     w_small = z * (1.0 + z * (a1 + z * (a2 + z * a3))) \
         / (1.0 + z * (b1 + z * (b2 + z * b3)))
-    c0, c1, c2, c3, d1, d2, d3 = _RAT_LN
-    x = jnp.clip(logz, 1.0, 60.0)
-    lnx = (c0 + x * (c1 + x * (c2 + x * c3))) \
-        / (1.0 + x * (d1 + x * (d2 + x * d3)))
-    w_big = logz - lnx + lnx / jnp.maximum(logz, 1.0)
+    g0, g1, g2, g3, h1, h2, h3 = _GOU
+    t = (logz - 30.5) * (1.0 / 29.5)
+    w_big = logz * (g0 + t * (g1 + t * (g2 + t * g3))) \
+        / (1.0 + t * (h1 + t * (h2 + t * h3)))
     w = jnp.where(z > jnp.e, w_big, w_small)
     for _ in range(iters):
         ew = jnp.exp(w)
@@ -114,11 +121,11 @@ def _mm_exact_kernel(vmax_ref, km_ref, sig_ref, s0_ref, obs_ref, ll_ref, *,
     S(t) = Km * W((S0/Km) exp((S0 - Vmax t)/Km)). Because
     ln z(t) = ln(S0/Km) + (S0 - Vmax t)/Km is LINEAR in t, z marches by one
     per-particle multiply per grid point (z *= exp(-Vmax dt / Km), the exp
-    hoisted out of the time loop) and logz by one subtract; W costs two
-    Halley exps per point from a rational (zero-transcendental)
-    initializer. Per particle per sweep: ~2 transcendentals per
-    observation point vs ~7 for the materialized jnp path — and zero HBM
-    traffic for intermediates.
+    hoisted out of the time loop) and logz by one subtract; W costs ONE
+    Halley exp per point from a rational (zero-transcendental) initializer
+    good to 1.6e-4 (cubic correction -> fp32-exact). Per particle per
+    sweep: ~1 transcendental per observation point vs ~7 for the
+    materialized jnp path — and zero HBM traffic for intermediates.
 
     Layout: the particle block rides as a dense (SUBP, 128) = (sublane,
     lane) tile grid and the dataset axis is the UNTILED leading dim — a
@@ -165,7 +172,7 @@ def _mm_exact_kernel(vmax_ref, km_ref, sig_ref, s0_ref, obs_ref, ll_ref, *,
                                              "interpret"))
 def mm_loglik_exact_pallas(theta: jnp.ndarray, obs: jnp.ndarray,
                            s0: jnp.ndarray, dt: float, block: int = 2048,
-                           iters: int = 2, interpret: bool = False
+                           iters: int = 1, interpret: bool = False
                            ) -> jnp.ndarray:
     """theta (N, 3), obs (n_ds, T), s0 (n_ds,) -> ll (N,). Closed-form MM
     likelihood as one fused VMEM-resident kernel (see _mm_exact_kernel).
