@@ -6,16 +6,17 @@ implied DAE-solves/sec. The reference runs one SUNDIALS IDA solve per
 condition per particle inside Ray workers on 30 CPU cores.
 """
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 
-def main(n: int = 256):
+def main(n: int = 256, chunk: int = 128):
     from smc_tpu.models.methanation import MethanationModel
     model = MethanationModel.default(n_conditions=30,
-                                     particle_chunk=min(n, 128))
+                                     particle_chunk=min(n, chunk))
     theta = jnp.tile(jnp.asarray([[13.04, 52.2e3, 1.147e5, 96.7e3, 5.0]],
                                  jnp.float32), (n, 1))
     f = jax.jit(model.log_likelihood)
@@ -35,8 +36,9 @@ def main(n: int = 256):
         "unit": "particles/s",
         "dae_solves_per_s": round(pps * 30, 1),
         "sweep_ms": round(dt * 1e3, 2),
+        "chunk": chunk,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    main(chunk=int(sys.argv[1]) if len(sys.argv) > 1 else 128)

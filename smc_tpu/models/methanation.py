@@ -725,9 +725,11 @@ class MethanationModel:
     # Particles are processed in chunks of (chunk x n_data) simultaneous DAE
     # systems (lax.map over chunks): bounds the live Jacobian working set
     # (4 x 49 x NX x chunk x n_data x 4B) instead of materializing all
-    # N x n_data systems at once. 128 measured fastest on one v5e chip
-    # (816 pps vs 765 at 256/1024 — 3840 lanes already saturate the VPU;
-    # bigger chunks only grow the HBM working set).
+    # N x n_data systems at once. 128 measured fastest on one v5e chip,
+    # re-confirmed on the round-2 lagged-Jacobian engine (1584/1608 pps
+    # vs 1381/1383 at 256; round 1: 816 vs 765 at 256/1024) — 3840 lanes
+    # already saturate the VPU; bigger chunks only grow the HBM working
+    # set and the factor-reload traffic of reuse sweeps.
     particle_chunk: int = 128
     # "batch_last": lanes-major engine (ops/dae_fast.py) — the TPU hot path.
     # "blocked": per-system vmap engine (ops/dae.py) — oracle for tests.

@@ -82,6 +82,25 @@ def test_large_sharded_fused_run(model):
     assert abs(p[:, 1].mean() - 0.5) < 0.05
 
 
+def test_full_run_from_key_sharded(model):
+    """The deployment-shape program (make_full_run_on_device: prior draw +
+    init sweep + all tempering steps fused into ONE dispatch, key ->
+    posterior) compiles and runs with the particle axis sharded over the
+    8-device mesh, keeps its outputs sharded, and reaches the right
+    posterior."""
+    from smc_tpu.smc.driver import make_full_run_on_device
+    cfg = SMCConfig(n_particles=512)
+    mesh = make_mesh()
+    psh = particle_sharding(mesh)
+    full = make_full_run_on_device(model, cfg, psharding=psh)
+    state = full(jax.random.key(3))
+    assert float(state.gamma) == 1.0
+    assert not state.particles.sharding.is_fully_replicated
+    p = np.asarray(state.particles)
+    assert abs(p[:, 0].mean() - 1.2) < 0.15
+    assert abs(p[:, 1].mean() - 0.5) < 0.15
+
+
 def test_explicit_shard_map_resampler_matches_single_chip():
     """The hand-scheduled shard_map resampler (explicit all_gather/psum
     collectives, parallel/resample_shmap.py) reproduces the single-chip
