@@ -1,11 +1,13 @@
 """Stress config: 10^6-particle Michaelis-Menten tempered SMC on one chip
 (BASELINE.json config 4; on a v5e-16 pod the particle axis shards over the
 mesh via smc_tpu.parallel — this script runs whatever devices are visible).
+Pass a particle count as argv[1] to stress other scales (e.g. 10000000).
 
 Prints one JSON line with wall-clock to the ESS-converged posterior and
 weight-update throughput.
 """
 import json
+import sys
 import time
 
 import jax
@@ -43,7 +45,7 @@ def main(n: int = 1_000_000):
     p = np.asarray(final.particles)
     updates = float(final.total_lik_evals)
     print(json.dumps({
-        "metric": f"1e6-particle MM SMC wall-clock ({n_dev} device(s))",
+        "metric": f"{n:.0e}-particle MM SMC wall-clock ({n_dev} device(s))",
         "value": round(wall, 2),
         "unit": "s",
         "wall_incl_compile_s": round(wall_cold, 2),
@@ -55,4 +57,4 @@ def main(n: int = 1_000_000):
 
 
 if __name__ == "__main__":
-    main()
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000)

@@ -49,25 +49,15 @@ def _ladder_kernel(dg_ref, d_ref, s1_ref, s2_ref, *, K):
         s2_ref[k] += w * w
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def ladder_stats(d_ll, dgammas, interpret: bool = False):
-    """Per-candidate weight sums of the tempering ladder in ONE pass.
+def _ladder_stats_jnp(d_ll, dgammas):
+    """XLA formulation (any backend, any batching): (..., N) x (..., K)."""
+    w = jnp.exp(d_ll[..., None, :] * dgammas[..., :, None])
+    return jnp.sum(w, axis=-1), jnp.sum(w * w, axis=-1)
 
-    d_ll: (N,) log_lik - max(log_lik) (<= 0, may contain -inf).
-    dgammas: (K,) candidate increments gamma_k - gamma_old (> 0).
-    Returns (s1, s2): each (K,) float32, summed over all N particles.
 
-    Off-TPU (and for interpret-mode tests) the jnp formulation is used;
-    under a sharded jit the Pallas call makes XLA gather d_ll — the sums
-    are cheap relative to a sharded likelihood sweep, and the CPU-mesh
-    test path never enters the kernel.
-    """
+def _ladder_stats_pallas(d_ll, dgammas, interpret: bool):
     K = dgammas.shape[0]
     n = d_ll.shape[0]
-    if not interpret and jax.default_backend() != "tpu":
-        w = jnp.exp(d_ll[None, :] * dgammas[:, None])
-        return jnp.sum(w, axis=1), jnp.sum(w * w, axis=1)
-
     tile = _ROWS * _LANE
     t = -(-n // tile)
     d = jnp.pad(d_ll, (0, t * tile - n), constant_values=-jnp.inf)
@@ -92,3 +82,44 @@ def ladder_stats(d_ll, dgammas, interpret: bool = False):
         interpret=interpret,
     )(dgammas.astype(jnp.float32), d.astype(jnp.float32))
     return jnp.sum(s1, axis=(1, 2)), jnp.sum(s2, axis=(1, 2))
+
+
+@jax.custom_batching.custom_vmap
+def _ladder_stats_kernel(d_ll, dgammas):
+    return _ladder_stats_pallas(d_ll, dgammas, interpret=False)
+
+
+@_ladder_stats_kernel.def_vmap
+def _ladder_stats_kernel_vmap(axis_size, in_batched, d_ll, dgammas):
+    """Batched rule (the hierarchical ensemble vmaps the SMC step over a
+    population axis, smc/ensemble.py): Mosaic can't tile the per-
+    population SMEM ladder operand, so batched calls use the XLA
+    formulation — the ladder is a per-STEP cost amortized over all B*N
+    lanes, so the kernel's advantage is already diluted by B here."""
+    d_b, g_b = in_batched
+    if not d_b:
+        d_ll = jnp.broadcast_to(d_ll, (axis_size,) + d_ll.shape)
+    if not g_b:
+        dgammas = jnp.broadcast_to(dgammas, (axis_size,) + dgammas.shape)
+    return _ladder_stats_jnp(d_ll, dgammas), (True, True)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ladder_stats(d_ll, dgammas, interpret: bool = False):
+    """Per-candidate weight sums of the tempering ladder in ONE pass.
+
+    d_ll: (N,) log_lik - max(log_lik) (<= 0, may contain -inf).
+    dgammas: (K,) candidate increments gamma_k - gamma_old (> 0).
+    Returns (s1, s2): each (K,) float32, summed over all N particles.
+
+    Off-TPU (and for interpret-mode tests) the jnp formulation is used;
+    under a sharded jit the Pallas call makes XLA gather d_ll — the sums
+    are cheap relative to a sharded likelihood sweep, and the CPU-mesh
+    test path never enters the kernel. Under vmap (ensemble populations)
+    the custom batching rule above selects the XLA formulation.
+    """
+    if interpret:
+        return _ladder_stats_pallas(d_ll, dgammas, interpret=True)
+    if jax.default_backend() != "tpu":
+        return _ladder_stats_jnp(d_ll, dgammas)
+    return _ladder_stats_kernel(d_ll, dgammas)

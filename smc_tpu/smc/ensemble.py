@@ -51,10 +51,13 @@ def init_ensemble(key: jax.Array, prior: Prior, loglik_fn: DataLogLik,
     return jax.vmap(one)(keys, data)
 
 
-def run_ensemble_on_device(key: jax.Array, prior: Prior,
-                           loglik_fn: DataLogLik, data, n_datasets: int,
-                           cfg: SMCConfig, mesh=None) -> SMCState:
-    """All D populations to gamma = 1 in one fused while_loop program.
+def make_ensemble_run(prior: Prior, loglik_fn: DataLogLik, n_datasets: int,
+                      cfg: SMCConfig, mesh=None):
+    """Build the deployment-shape ensemble program: ONE jitted function
+    ``fn(key, data) -> SMCState`` taking all D populations from prior draw
+    to gamma = 1 in a single device dispatch (the ensemble analog of
+    ``driver.make_full_run_on_device``). Build once, call with fresh
+    keys/data — repeated calls reuse the executable.
 
     ``mesh``: optional 2-D mesh from ``make_mesh(n_devices, n_data)`` — the
     dataset axis is sharded over the "data" mesh axis and each population's
@@ -63,8 +66,6 @@ def run_ensemble_on_device(key: jax.Array, prior: Prior,
     stays within its "particles" sub-ring; per-dataset reductions become
     psum/pmax over that axis only.
     """
-    states = init_ensemble(key, prior, loglik_fn, data, n_datasets, cfg)
-
     pin = lambda x: x
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -82,8 +83,6 @@ def run_ensemble_on_device(key: jax.Array, prior: Prior,
                     x, NamedSharding(mesh, spec))
             return jax.tree_util.tree_map(place, tree)
 
-        states = jax.jit(_shard_tree)(states)
-        data = jax.device_put(data, NamedSharding(mesh, P(DATA_AXIS)))
         pin = _shard_tree
 
     def step_one(state, data_d):
@@ -94,18 +93,38 @@ def run_ensemble_on_device(key: jax.Array, prior: Prior,
     def cond(ss: SMCState):
         return jnp.any((ss.gamma < 1.0) & (ss.step < cfg.max_steps))
 
-    def body(ss: SMCState):
-        new = vstep(ss, data)
-        done = ss.gamma >= 1.0
+    def make_body(data):
+        def body(ss: SMCState):
+            new = vstep(ss, data)
+            done = ss.gamma >= 1.0
 
-        def sel(old, new_):
-            mask = done.reshape((-1,) + (1,) * (old.ndim - 1))
-            return jnp.where(mask, old, new_)
+            def sel(old, new_):
+                mask = done.reshape((-1,) + (1,) * (old.ndim - 1))
+                return jnp.where(mask, old, new_)
 
-        return pin(jax.tree_util.tree_map(sel, ss, new))
+            return pin(jax.tree_util.tree_map(sel, ss, new))
+        return body
 
     @jax.jit
-    def _run(ss):
-        return lax.while_loop(cond, body, ss)
+    def _run(key, data):
+        states = pin(init_ensemble(key, prior, loglik_fn, data,
+                                   n_datasets, cfg))
+        return lax.while_loop(cond, make_body(data), states)
 
-    return _run(states)
+    return _run
+
+
+def run_ensemble_on_device(key: jax.Array, prior: Prior,
+                           loglik_fn: DataLogLik, data, n_datasets: int,
+                           cfg: SMCConfig, mesh=None) -> SMCState:
+    """All D populations to gamma = 1 in one fused while_loop program.
+
+    One-shot convenience over ``make_ensemble_run`` (which see for the
+    ``mesh`` semantics); for repeated runs build the program once.
+    """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from smc_tpu.parallel.mesh import DATA_AXIS
+        data = jax.device_put(data, NamedSharding(mesh, P(DATA_AXIS)))
+    return make_ensemble_run(prior, loglik_fn, n_datasets, cfg, mesh)(
+        key, data)

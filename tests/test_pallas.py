@@ -142,3 +142,28 @@ def test_ladder_stats_matches_jnp():
     w = np.exp(d_ll[None, :].astype(np.float64) * dg[:, None])
     np.testing.assert_allclose(np.asarray(s1), w.sum(1), rtol=2e-5)
     np.testing.assert_allclose(np.asarray(s2), (w * w).sum(1), rtol=2e-5)
+
+
+def test_ladder_stats_batched_rule_matches_jnp():
+    """The custom_vmap rule the hierarchical ensemble hits on TPU (vmapped
+    SMC step -> batched ladder_stats) must reproduce the per-population
+    jnp sums. The rule itself is pure XLA, so it runs (and is pinned) on
+    any backend even though only TPU dispatch reaches it in production."""
+    from smc_tpu.ops.ladder_pallas import (_ladder_stats_jnp,
+                                           _ladder_stats_kernel)
+    rng = np.random.default_rng(9)
+    b, n, k = 5, 1000, 81
+    d_ll = -np.abs(rng.normal(size=(b, n))).astype(np.float32) * 4.0
+    d_ll[:, ::53] = -np.inf
+    dg = (0.3 * 0.7 ** np.arange(k)).astype(np.float32)
+    dg_b = np.stack([dg * (1.0 + 0.1 * i) for i in range(b)])
+    s1, s2 = jax.vmap(_ladder_stats_kernel)(jnp.asarray(d_ll),
+                                            jnp.asarray(dg_b))
+    r1, r2 = _ladder_stats_jnp(jnp.asarray(d_ll), jnp.asarray(dg_b))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(r1), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(r2), rtol=2e-5)
+    # unbatched dgammas broadcast across the population axis
+    s1u, _ = jax.vmap(_ladder_stats_kernel, in_axes=(0, None))(
+        jnp.asarray(d_ll), jnp.asarray(dg))
+    r1u, _ = _ladder_stats_jnp(jnp.asarray(d_ll), jnp.asarray(dg))
+    np.testing.assert_allclose(np.asarray(s1u), np.asarray(r1u), rtol=2e-5)
