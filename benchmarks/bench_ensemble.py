@@ -36,7 +36,10 @@ def main(d_sets: int = 64, n: int = 2048, window_s: float = 10.0):
         return jnp.stack([obs0 + 0.02 * jax.random.normal(k, obs0.shape)
                           for k in ks])
 
-    loglik = make_mm_data_loglik(jnp.asarray(ts), jnp.asarray(s0))
+    # pallas_exact: under the ensemble's population vmap the custom_vmap
+    # rule lowers all D populations' likelihoods to ONE batched kernel.
+    loglik = make_mm_data_loglik(jnp.asarray(ts), jnp.asarray(s0),
+                                 method="pallas_exact")
     prior = Prior.uniform([0.0, 0.0, 0.0], [10.0, 10.0, 10.0])
     cfg = SMCConfig(n_particles=n)
     run = make_ensemble_run(prior, loglik, d_sets, cfg)

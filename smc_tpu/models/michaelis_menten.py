@@ -131,7 +131,7 @@ class MichaelisMentenModel:
             # march, "pallas_exact" = closed-form Lambert-W. Both return ll
             # only; predictions fall back to the jnp path when requested
             # (RunManager._parity_plots does this automatically).
-            from smc_tpu.ops.mm_pallas import (mm_loglik_exact_pallas,
+            from smc_tpu.ops.mm_pallas import (_exact_pallas_vmappable,
                                                mm_loglik_pallas)
             dt = float(np.asarray(self.ts)[1] - np.asarray(self.ts)[0])
             theta3 = theta if self.est_sigma else jnp.concatenate(
@@ -139,8 +139,10 @@ class MichaelisMentenModel:
                                  theta.dtype)], axis=1)
             interp = jax.default_backend() == "cpu"
             if self.method == "pallas_exact":
-                ll = mm_loglik_exact_pallas(theta3, self.obs, self.s0, dt,
-                                            interpret=interp)
+                # custom_vmap wrapper: the hierarchical ensemble vmaps this
+                # over populations -> one batched kernel launch.
+                ll = _exact_pallas_vmappable(dt, 2048, 1, interp)(
+                    theta3, self.obs, self.s0)
             else:
                 ll = mm_loglik_pallas(theta3, self.obs, self.s0, dt,
                                       substeps=self.substeps,

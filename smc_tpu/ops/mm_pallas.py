@@ -144,7 +144,7 @@ def _mm_exact_kernel(vmax_ref, km_ref, sig_ref, s0_ref, obs_ref, ll_ref, *,
     Vmax = vmax_ref[0]                       # (SUBP, L)
     Km = jnp.maximum(km_ref[0], 1e-8)
     sub, lane = Vmax.shape
-    s0 = jnp.broadcast_to(s0_ref[:], (n_ds, 1, lane))    # (n_ds, 1, L)
+    s0 = jnp.broadcast_to(s0_ref[0], (n_ds, 1, lane))    # (n_ds, 1, L)
     inv_km = 1.0 / Km                        # (SUBP, L)
     bdt = Vmax * dt * inv_km
     decay = jnp.exp(-bdt)                    # 1 exp per particle per sweep
@@ -152,13 +152,13 @@ def _mm_exact_kernel(vmax_ref, km_ref, sig_ref, s0_ref, obs_ref, ll_ref, *,
     z = jnp.exp(jnp.clip(logz, -60.0, 60.0))  # (n_ds, SUBP, L)
 
     # t = 0: S = s0 exactly, no solve needed.
-    r0 = jnp.broadcast_to(obs_ref[0], (n_ds, sub, lane))
+    r0 = jnp.broadcast_to(obs_ref[0, 0], (n_ds, sub, lane))
     acc = r0 * r0
     for i in range(1, n_obs):
         z = z * decay[None]
         logz = logz - bdt[None]
         w = _lambertw_fast(z, logz, iters)
-        r = obs_ref[i] - (s0 - Km[None] * w)
+        r = obs_ref[0, i] - (s0 - Km[None] * w)
         acc = acc + r * r
 
     sigma = jnp.maximum(sig_ref[0], 1e-12)
@@ -166,6 +166,62 @@ def _mm_exact_kernel(vmax_ref, km_ref, sig_ref, s0_ref, obs_ref, ll_ref, *,
           - jnp.sum(acc, axis=0) / (2.0 * sigma * sigma))
     bad = (sig_ref[0] <= 0.0) | ~(ll == ll)
     ll_ref[0] = jnp.where(bad, -jnp.inf, ll)
+
+
+@functools.partial(jax.jit, static_argnames=("dt", "block", "iters",
+                                             "interpret"))
+def mm_loglik_exact_pallas_batched(theta: jnp.ndarray, obs: jnp.ndarray,
+                                   s0: jnp.ndarray, dt: float,
+                                   block: int = 2048, iters: int = 1,
+                                   interpret: bool = False) -> jnp.ndarray:
+    """theta (B, N, 3), obs (B, n_ds, T), s0 (B, n_ds) -> ll (B, N).
+
+    B independent populations, each with its OWN observation set, in one
+    kernel launch: populations ride the grid (each population pads to a
+    whole number of particle blocks; block b serves population b // t,
+    whose s0/obs block the index maps select). This is the hierarchical
+    ensemble's likelihood shape (smc/ensemble.py vmaps the SMC step over
+    populations; the reference's analog is one whole process invocation
+    per dataset, SMC_methanation_main.py)."""
+    b_pop, n = theta.shape[0], theta.shape[1]
+    n_ds, n_obs = obs.shape[1], obs.shape[2]
+    lane = 128
+    tile = _SUBP * lane
+    block = max(tile, (block // tile) * tile)
+    n_pad = -(-n // block) * block
+    if n_pad != n:
+        pad = jnp.ones((b_pop, n_pad - n, 3), theta.dtype)
+        theta = jnp.concatenate([theta, pad], axis=1)
+    t = n_pad // block
+    sub = block // lane
+
+    kern = functools.partial(_mm_exact_kernel, n_obs=n_obs, dt=dt,
+                             n_ds=n_ds, iters=iters)
+    col = lambda k: theta[..., k].reshape(b_pop * t, sub, lane)
+    part_spec = pl.BlockSpec((1, sub, lane), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    # s0 / obs pre-broadcast over lanes (tiny, once per call) so the time
+    # loop never relayouts the untiled dataset axis.
+    s0b = jnp.broadcast_to(s0[:, :, None, None], (b_pop, n_ds, 1, lane))
+    obsb = jnp.broadcast_to(
+        jnp.swapaxes(obs, 1, 2)[:, :, :, None, None],
+        (b_pop, n_obs, n_ds, 1, lane))
+    ll = pl.pallas_call(
+        kern,
+        grid=(b_pop * t,),
+        in_specs=[
+            part_spec, part_spec, part_spec,
+            pl.BlockSpec((1, n_ds, 1, lane), lambda i: (i // t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_obs, n_ds, 1, lane),
+                         lambda i: (i // t, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=part_spec,
+        out_shape=jax.ShapeDtypeStruct((b_pop * t, sub, lane), theta.dtype),
+        interpret=interpret,
+    )(col(0), col(1), col(2), s0b, obsb)
+    return ll.reshape(b_pop, n_pad)[:, :n]
 
 
 @functools.partial(jax.jit, static_argnames=("dt", "block", "iters",
@@ -178,44 +234,38 @@ def mm_loglik_exact_pallas(theta: jnp.ndarray, obs: jnp.ndarray,
     likelihood as one fused VMEM-resident kernel (see _mm_exact_kernel).
     ``block`` = particles per grid step, a multiple of 16*128 = 2048 (the
     dense (sublane, lane) particle tile)."""
-    n = theta.shape[0]
-    n_ds, n_obs = obs.shape
-    lane = 128
-    tile = _SUBP * lane
-    block = max(tile, (block // tile) * tile)
-    n_pad = -(-n // block) * block
-    if n_pad != n:
-        pad = jnp.ones((n_pad - n, 3), theta.dtype)
-        theta = jnp.concatenate([theta, pad], axis=0)
-    sub = block // lane
+    return mm_loglik_exact_pallas_batched(
+        theta[None], obs[None], s0[None], dt, block=block, iters=iters,
+        interpret=interpret)[0]
 
-    kern = functools.partial(_mm_exact_kernel, n_obs=n_obs, dt=dt,
-                             n_ds=n_ds, iters=iters)
-    grid = (n_pad // block,)
-    col = lambda k: theta[:, k].reshape(n_pad // block, sub, lane)
-    part_spec = pl.BlockSpec((1, sub, lane), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
-    # s0 / obs pre-broadcast over lanes (tiny, once per call) so the time
-    # loop never relayouts the untiled dataset axis.
-    s0b = jnp.broadcast_to(s0[:, None, None], (n_ds, 1, lane))
-    obsb = jnp.broadcast_to(obs.T[:, :, None, None],
-                            (n_obs, n_ds, 1, lane))
-    ll = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[
-            part_spec, part_spec, part_spec,
-            pl.BlockSpec((n_ds, 1, lane), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_obs, n_ds, 1, lane), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=part_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad // block, sub, lane),
-                                       theta.dtype),
-        interpret=interpret,
-    )(col(0), col(1), col(2), s0b, obsb)
-    return ll.reshape(n_pad)[:n]
+
+@functools.lru_cache(maxsize=None)
+def _exact_pallas_vmappable(dt: float, block: int, iters: int,
+                            interpret: bool):
+    """custom_vmap wrapper: plain calls hit the single-population kernel;
+    a vmapped call (the ensemble's per-population likelihood) lowers to
+    ONE batched kernel launch instead of failing Mosaic's block-shape
+    checks. Cached per static config so the rule registers once."""
+    @jax.custom_batching.custom_vmap
+    def fn(theta, obs, s0):
+        return mm_loglik_exact_pallas(theta, obs, s0, dt, block=block,
+                                      iters=iters, interpret=interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, theta, obs, s0):
+        tb, ob, sb = in_batched
+        if not tb:
+            theta = jnp.broadcast_to(theta, (axis_size,) + theta.shape)
+        if not ob:
+            obs = jnp.broadcast_to(obs, (axis_size,) + obs.shape)
+        if not sb:
+            s0 = jnp.broadcast_to(s0, (axis_size,) + s0.shape)
+        out = mm_loglik_exact_pallas_batched(theta, obs, s0, dt,
+                                             block=block, iters=iters,
+                                             interpret=interpret)
+        return out, True
+
+    return fn
 
 
 @functools.partial(jax.jit, static_argnames=("dt", "substeps", "block",

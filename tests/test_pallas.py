@@ -167,3 +167,33 @@ def test_ladder_stats_batched_rule_matches_jnp():
         jnp.asarray(d_ll), jnp.asarray(dg))
     r1u, _ = _ladder_stats_jnp(jnp.asarray(d_ll), jnp.asarray(dg))
     np.testing.assert_allclose(np.asarray(s1u), np.asarray(r1u), rtol=2e-5)
+
+
+def test_mm_exact_pallas_batched_matches_unbatched():
+    """The batched (multi-population) kernel variant — what the ensemble's
+    population vmap lowers to via the custom_vmap rule — must agree with
+    per-population unbatched calls, incl. per-population observation sets
+    and the padding tail (N not a block multiple)."""
+    from smc_tpu.ops.mm_pallas import (_exact_pallas_vmappable,
+                                       mm_loglik_exact_pallas)
+    model = MichaelisMentenModel.default(method="exact")
+    rng = np.random.default_rng(11)
+    b, n = 3, 300
+    theta = np.column_stack([
+        rng.uniform(0.3, 5.0, b * n),
+        rng.uniform(0.3, 5.0, b * n),
+        rng.uniform(0.05, 5.0, b * n),
+    ]).astype(np.float32).reshape(b, n, 3)
+    obs = np.stack([np.asarray(model.obs) + 0.02 * rng.normal(
+        size=model.obs.shape).astype(np.float32) for _ in range(b)])
+    theta, obs = jnp.asarray(theta), jnp.asarray(obs)
+    dt = float(np.asarray(model.ts)[1] - np.asarray(model.ts)[0])
+
+    fn = _exact_pallas_vmappable(dt, 2048, 1, True)   # interpret on CPU
+    ll_b = jax.vmap(fn, in_axes=(0, 0, None))(theta, obs, model.s0)
+    assert ll_b.shape == (b, n)
+    for i in range(b):
+        ll_i = mm_loglik_exact_pallas(theta[i], obs[i], model.s0, dt,
+                                      interpret=True)
+        np.testing.assert_allclose(np.asarray(ll_b[i]), np.asarray(ll_i),
+                                   rtol=1e-5, atol=1e-3)
