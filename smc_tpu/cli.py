@@ -168,7 +168,8 @@ def cmd_ensemble(args):
     keys = jax.random.split(jax.random.key(args.seed + 1), args.datasets)
     obs = jnp.stack([jnp.asarray(obs0) + 0.02 * jax.random.normal(k, obs0.shape)
                      for k in keys])
-    loglik = make_mm_data_loglik(jnp.asarray(ts), jnp.asarray(s0))
+    loglik = make_mm_data_loglik(jnp.asarray(ts), jnp.asarray(s0),
+                                 method=getattr(args, "method", "exact"))
     prior = Prior.uniform([0.0, 0.0, 0.0], [10.0, 10.0, 10.0])
     states = run_ensemble_on_device(jax.random.key(args.seed), prior, loglik,
                                     obs, args.datasets, _cfg(args))
@@ -255,6 +256,10 @@ def main(argv=None):
     pe = sub.add_parser("ensemble",
                         help="hierarchical multi-dataset MM ensemble")
     pe.add_argument("--datasets", type=int, default=4)
+    pe.add_argument("--method", default="exact",
+                    help="per-population MM likelihood (exact, rk4, "
+                         "dopri5, pallas_exact — the last lowers all "
+                         "populations to one batched kernel)")
     _add_common(pe)
     pe.set_defaults(fn=cmd_ensemble)
 

@@ -46,3 +46,15 @@ def test_cli_generate_data(tmp_path):
         assert open(path).readline().strip() == "t,S_true,P_true,P_obs"
         arr = np.loadtxt(path, delimiter=",", skiprows=1)
         assert arr.shape == (40, 4)
+
+
+def test_cli_ensemble(capsys):
+    """smc-tpu ensemble: every population reports gamma=1 and a mean line;
+    --method pallas_exact routes all populations through the batched
+    Lambert-W kernel (interpret mode on the CPU test platform)."""
+    rc = main(["ensemble", "--datasets", "2", "--particles", "64",
+               "--method", "pallas_exact"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "dataset 0: gamma=1.000" in out
+    assert "dataset 1: gamma=1.000" in out
