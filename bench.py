@@ -20,8 +20,12 @@ import time
 import numpy as np
 
 
-def _cpu_baseline_updates_per_sec(n_probe: int = 30) -> float:
-    """Single-core scipy RK45 likelihood throughput (reference-equivalent)."""
+def _cpu_baseline_updates_per_sec(n_probe: int = 30, repeats: int = 3) -> float:
+    """Single-core scipy RK45 likelihood throughput (reference-equivalent).
+
+    Best of ``repeats`` timings: the one-core host shares with background
+    services, so a single probe can read ~2x slow; the minimum time is the
+    stable estimate of the machine's actual single-core capability."""
     from scipy.integrate import solve_ivp
 
     ts = np.linspace(0, 10, 40)
@@ -31,17 +35,19 @@ def _cpu_baseline_updates_per_sec(n_probe: int = 30) -> float:
                               rng.uniform(0.1, 2, n_probe),
                               rng.uniform(0.01, 1, n_probe)])
     obs = rng.normal(0.5, 0.1, (6, 40))
-    t0 = time.perf_counter()
-    for Vmax, Km, sigma in thetas:
-        total = 0.0
-        for i, s0 in enumerate(s0s):
-            sol = solve_ivp(lambda t, S: -Vmax * S / (Km + S), (0, 10), [s0],
-                            t_eval=ts, method="RK45")
-            r = obs[i] - (s0 - sol.y[0])
-            total += -0.5 * 40 * np.log(2 * np.pi * sigma ** 2) \
-                - np.sum(r ** 2) / (2 * sigma ** 2)
-    dt = time.perf_counter() - t0
-    return n_probe / dt
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for Vmax, Km, sigma in thetas:
+            total = 0.0
+            for i, s0 in enumerate(s0s):
+                sol = solve_ivp(lambda t, S: -Vmax * S / (Km + S), (0, 10),
+                                [s0], t_eval=ts, method="RK45")
+                r = obs[i] - (s0 - sol.y[0])
+                total += -0.5 * 40 * np.log(2 * np.pi * sigma ** 2) \
+                    - np.sum(r ** 2) / (2 * sigma ** 2)
+        best = min(best, time.perf_counter() - t0)
+    return n_probe / best
 
 
 def main():
