@@ -79,6 +79,16 @@ EST_DEFAULT = (0, 1, 2, 3, 8)
 
 NX = 51
 
+# Flow-sanity bound for the failure sentinel: physical outlet flows are
+# O(10^2) sccm (bounded by the inlet totals), but the fixed-iteration
+# Newton march has no internal error exit like SUNDIALS — at extreme
+# kinetic draws it can diverge to FINITE garbage (measured up to ~1e18
+# sccm at prior-edge draws, benchmarks/probe_steady.py) that an
+# isfinite-only check would silently pass into the likelihood. Anything
+# past this bound is a failed solve (reference behavior: IDA error ->
+# -10000 sentinel, methanation_set_likelihood.py:244).
+FLOW_SANE = 1e6
+
 
 def rate_rCH4(T, Ca, Cb, Cc, Cd, kin):
     """LHHW methanation rate, mol/(m^3 s) (func_rCH4)."""
@@ -734,6 +744,21 @@ class MethanationModel:
     # "batch_last": lanes-major engine (ops/dae_fast.py) — the TPU hot path.
     # "blocked": per-system vmap engine (ops/dae.py) — oracle for tests.
     engine: str = "batch_last"
+    # march="transient": time-accurate BDF2 to t_final (what IDA computes
+    # for the reference). march="steady": per-lane SER pseudo-transient
+    # continuation straight to the t->inf steady state
+    # (ops/dae_fast.steady_march_bl) — valid because the likelihood reads
+    # only the endpoint (methanation_set_likelihood.py:191-233) and the
+    # reactor is at steady state well before t_final=75; SER's terminal
+    # Newton phase removes the march's time-discretization error
+    # entirely. batch_last engine only.
+    march: str = "transient"
+    ptc_steps: int = 14
+    ptc_dt0: float = 0.02
+    ptc_growth: float = 6.0
+    ptc_floor: float = 2.0
+    ptc_lag: int = 2
+    ptc_reuse_iters: int = 1
     # Optional 2-D mesh from parallel.mesh.make_mesh(n, n_data): the
     # flattened particle x condition lane axis B is pinned to
     # P(("particles", "data")) — the flattening is particle-major, so the
@@ -786,7 +811,8 @@ class MethanationModel:
             return outlet_flows(yf)
 
         flows = jax.vmap(one)(y0, cv)  # (n_data, 5)
-        ok = jnp.all(jnp.isfinite(flows), axis=1, keepdims=True)
+        ok = jnp.all(jnp.isfinite(flows) & (jnp.abs(flows) < FLOW_SANE),
+                     axis=1, keepdims=True)
         flows = jnp.where(ok, flows, -10000.0)
         return flows.T
 
@@ -843,18 +869,32 @@ class MethanationModel:
                                                    pad_cols=pad),
                 "cd": lambda: _analytic_CD_jac(flags, condv, pad_cols=pad),
                 "ad": lambda: None}[self.jac_mode]()
-        yf = bdf_march_bl(rows, y0, self._dts(),
-                          newton_iters=self.newton_iters, pivot=self.pivot,
-                          analytic_jac=ajac,
-                          jac_stride=self.jac_stride,
-                          n_dense=self._n_dense_eff,
-                          reuse_iters=self.reuse_iters,
-                          dense_tail=self.dense_tail,
-                          solver=solver)
+        if self.march == "steady":
+            from smc_tpu.ops.dae_fast import steady_march_bl
+            yf = steady_march_bl(rows, y0, n_steps=self.ptc_steps,
+                                 h0=self.ptc_dt0,
+                                 grow_cap=self.ptc_growth,
+                                 grow_floor=self.ptc_floor,
+                                 lag=self.ptc_lag,
+                                 reuse_iters=self.ptc_reuse_iters,
+                                 newton_iters=self.newton_iters,
+                                 pivot=self.pivot, analytic_jac=ajac,
+                                 solver=solver)
+        else:
+            yf = bdf_march_bl(rows, y0, self._dts(),
+                              newton_iters=self.newton_iters,
+                              pivot=self.pivot,
+                              analytic_jac=ajac,
+                              jac_stride=self.jac_stride,
+                              n_dense=self._n_dense_eff,
+                              reuse_iters=self.reuse_iters,
+                              dense_tail=self.dense_tail,
+                              solver=solver)
         flows = (yf[:5, -1, :] * yf[6, -1, :] * AREA * 60.0 * R_GAS * 298.0
                  / P_STP * 1e6)                            # (5, B)
         flows = flows.reshape(5, n, nc)
-        ok = jnp.all(jnp.isfinite(flows), axis=0, keepdims=True)
+        ok = jnp.all(jnp.isfinite(flows) & (jnp.abs(flows) < FLOW_SANE),
+                     axis=0, keepdims=True)
         flows = jnp.where(ok, flows, -10000.0)
         return jnp.moveaxis(flows, 1, 0)                   # (Nc, 5, nc)
 

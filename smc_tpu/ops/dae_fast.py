@@ -484,48 +484,15 @@ def resolve_solver(solver: str) -> str:
     return solver
 
 
-def bdf_march_bl(rows_bl: Callable,
-                 y0: jnp.ndarray,
-                 dts: jnp.ndarray,
-                 newton_iters: int = 3,
-                 order: int = 2,
-                 pivot: bool = True,
-                 analytic_jac: Callable = None,
-                 jac_stride: int = 1,
-                 n_dense: int = None,
-                 reuse_iters: int = None,
-                 dense_tail: int = 0,
-                 solver: str = "thomas") -> jnp.ndarray:
-    """March F(y, y') = 0 in batch-last layout. y0: (7, NX, B).
-
-    rows_bl(y_m, y, y_p, yd) -> (7, NX, B) residual rows, where y_m/y_p are
-    the neighbor-shifted states (edge-duplicated; the duplicated boundary
-    Jacobian contributions are folded into the diagonal blocks here).
-    BDF coefficients as in smc_tpu.ops.dae.implicit_euler_dae.
-
-    analytic_jac(y_m, y, y_p, yd) -> {slot: (7, 7, NX, B)} may supply
-    closed-form Jacobian blocks for any of the four argument slots
-    (0 = y_m, 1 = y, 2 = y_p, 3 = yd); the remaining slots are built with
-    jax.linearize tangent passes (7 per slot), so supplying the cheap
-    sparse slots (typically y_p and yd) halves the Jacobian cost.
-
-    jac_stride > 1 (modified-Newton path only) enables IDA-style Jacobian
-    lag ACROSS time steps — the economy SUNDIALS IDA uses on the reference's
-    DAE (methanation_set_likelihood.py:169: one J factorization serves many
-    BDF steps). After ``n_dense`` leading per-step-factored steps (default:
-    len(dts) % jac_stride), the march proceeds in blocks of ``jac_stride``
-    steps: the Jacobian is built and block-Thomas-factored once at block
-    entry, and the remaining steps of the block solve with the stale
-    factors, each Newton update scaled by IDA's mass-coefficient
-    compensation c = 2 / (1 + cj_step / cj_factored) (exactly 1 when the
-    step size is constant within the block). Reuse steps run
-    ``reuse_iters`` Newton iterations (default newton_iters + 1 — stale
-    factors converge linearly rather than quadratically). The residual is
-    always evaluated with the step's true coefficients, so a converged
-    step is exact regardless of factor staleness.
-    """
+def _newton_kit(rows_bl: Callable, y0: jnp.ndarray, pivot: bool,
+                analytic_jac: Callable, solver: str):
+    """Shared closures for the implicit solvers: residual evaluation,
+    Jacobian block assembly, and the solver-dispatched block-tridiagonal
+    factor/apply pair. The BDF mass term is parameterized as
+    yd = (alpha*y + const)/h; alpha=0, const=0 selects the steady system
+    F(y, 0). Returns (shift, residual, build_blocks, factor_, apply_,
+    factor_apply_)."""
     nf, nx, bt = y0.shape
-    solver = resolve_solver(solver)
     # thomas_pl consumes column-padded (nf, 8, ...) blocks (sublane-aligned
     # row DMAs); emit the pad at block-assembly time so no standalone pad
     # copies appear between the build and the factor kernel.
@@ -618,6 +585,53 @@ def bdf_march_bl(rows_bl: Callable,
             return fac, apply_(fac, rhs)
         (LUs, ms), delta = block_thomas_factor_apply(A_, B_, C_, rhs)
         return (LUs, ms, C_), jnp.moveaxis(delta, 0, 1)
+
+    return shift, residual, build_blocks, factor_, apply_, factor_apply_
+
+
+def bdf_march_bl(rows_bl: Callable,
+                 y0: jnp.ndarray,
+                 dts: jnp.ndarray,
+                 newton_iters: int = 3,
+                 order: int = 2,
+                 pivot: bool = True,
+                 analytic_jac: Callable = None,
+                 jac_stride: int = 1,
+                 n_dense: int = None,
+                 reuse_iters: int = None,
+                 dense_tail: int = 0,
+                 solver: str = "thomas") -> jnp.ndarray:
+    """March F(y, y') = 0 in batch-last layout. y0: (7, NX, B).
+
+    rows_bl(y_m, y, y_p, yd) -> (7, NX, B) residual rows, where y_m/y_p are
+    the neighbor-shifted states (edge-duplicated; the duplicated boundary
+    Jacobian contributions are folded into the diagonal blocks here).
+    BDF coefficients as in smc_tpu.ops.dae.implicit_euler_dae.
+
+    analytic_jac(y_m, y, y_p, yd) -> {slot: (7, 7, NX, B)} may supply
+    closed-form Jacobian blocks for any of the four argument slots
+    (0 = y_m, 1 = y, 2 = y_p, 3 = yd); the remaining slots are built with
+    jax.linearize tangent passes (7 per slot), so supplying the cheap
+    sparse slots (typically y_p and yd) halves the Jacobian cost.
+
+    jac_stride > 1 (modified-Newton path only) enables IDA-style Jacobian
+    lag ACROSS time steps — the economy SUNDIALS IDA uses on the reference's
+    DAE (methanation_set_likelihood.py:169: one J factorization serves many
+    BDF steps). After ``n_dense`` leading per-step-factored steps (default:
+    len(dts) % jac_stride), the march proceeds in blocks of ``jac_stride``
+    steps: the Jacobian is built and block-Thomas-factored once at block
+    entry, and the remaining steps of the block solve with the stale
+    factors, each Newton update scaled by IDA's mass-coefficient
+    compensation c = 2 / (1 + cj_step / cj_factored) (exactly 1 when the
+    step size is constant within the block). Reuse steps run
+    ``reuse_iters`` Newton iterations (default newton_iters + 1 — stale
+    factors converge linearly rather than quadratically). The residual is
+    always evaluated with the step's true coefficients, so a converged
+    step is exact regardless of factor staleness.
+    """
+    solver = resolve_solver(solver)
+    _, residual, build_blocks, factor_, apply_, factor_apply_ = _newton_kit(
+        rows_bl, y0, pivot, analytic_jac, solver)
 
     def coeffs(y_n, y_nm1, h, h_prev, is_first):
         if order == 2:
@@ -725,3 +739,113 @@ def bdf_march_bl(rows_bl: Callable,
         # last steps get fresh factors regardless of the lag economy.
         carry, _ = lax.scan(step, carry, (dts[n_lag:], first[n_lag:]))
     return carry[0]
+
+
+def steady_march_bl(rows_bl: Callable,
+                    y0: jnp.ndarray,
+                    n_steps: int = 20,
+                    h0: float = 0.02,
+                    h_max: float = 1e6,
+                    grow_cap: float = 6.0,
+                    grow_floor: float = 2.0,
+                    lag: int = 1,
+                    reuse_iters: int = 2,
+                    newton_iters: int = 1,
+                    pivot: bool = False,
+                    analytic_jac: Callable = None,
+                    solver: str = "thomas",
+                    conv_tol: float = 1e-4) -> jnp.ndarray:
+    """Solve the steady state F(y, yd=0) = 0 directly. y0: (7, NX, B).
+
+    Pseudo-transient continuation with per-lane switched-evolution
+    relaxation (SER): each BDF1 pseudo-step solves
+    ``F(y', (y' - y)/h) = 0`` by modified Newton from the predictor y —
+    i.e. Levenberg-regularized Newton on the steady system with damping
+    D/h — and each LANE's h evolves by the classic SER rule
+    ``h_k = h_{k-1} * ||F(y_{k-1}, 0)|| / ||F(y_k, 0)||`` (clipped to
+    [1/4, grow_cap], capped at h_max). Lanes are independent reactor
+    systems, so per-lane h costs nothing in this layout: h is a (B,)
+    vector broadcast into the mass term. As a lane's residual collapses,
+    its h rockets to h_max and the iteration becomes plain Newton —
+    quadratic convergence to the exact t -> inf state, no separate
+    polish phase.
+
+    The steady residual norm driving SER is free: at the BDF1 predictor,
+    yd = (y - y)/h = 0, so the rhs ``build_blocks`` already returns IS
+    -F(y, 0).
+
+    This replaces the whole transient march when the observable is the
+    endpoint of a long integration: the reference integrates its reactor
+    to tfinal=75 with IDA and reads only the final outlet state
+    (methanation_set_likelihood.py:191-233) — a steady-state observable.
+    SER-PTC reaches it in ~3x fewer implicit steps than the
+    time-accurate BDF2 schedule, with zero time-discretization error.
+
+    Failure containment: lanes not converged at the last step
+    (steady-residual norm above ``conv_tol`` relative to the lane's
+    initial residual norm, or non-finite) are set to NaN, so callers'
+    -10000 sentinels fire exactly as for a SUNDIALS failure in the
+    reference (:244). A lane whose step produces non-finite values keeps
+    its previous iterate and retries at h/4 — SER's built-in rejection.
+    """
+    solver = resolve_solver(solver)
+    _, residual, build_blocks, factor_, apply_, factor_apply_ = _newton_kit(
+        rows_bl, y0, pivot, analytic_jac, solver)
+
+    one = jnp.ones((), y0.dtype)
+    bt = y0.shape[-1]
+    tiny = jnp.asarray(1e-30, y0.dtype)
+
+    def lane_norm(rhs):                           # rhs (NX, 7, B)
+        return jnp.max(jnp.abs(rhs), axis=(0, 1))
+
+    def step(carry, _):
+        y, h, r_prev = carry
+        A_, B_, C_, rhs = build_blocks(y, one, -y, h)   # rhs = -F(y, 0)
+        r = lane_norm(rhs)                              # (B,)
+        fac, delta = factor_apply_(A_, B_, C_, rhs)
+        y1 = y + delta
+
+        def one_more(_, yk):
+            return yk + apply_(fac, residual(yk, one, -y, h))
+
+        y1 = lax.fori_loop(0, newton_iters - 1, one_more, y1)
+        # Jacobian lag (the march's IDA economy, in PTC form): lag-1 more
+        # BDF1 steps at the SAME h reuse the factors — equal h means the
+        # factored mass coefficient is exact (cj ratio 1, no compensation
+        # needed); only the J(y) part is stale, the standard modified-
+        # Newton trade. h then grows by grow_floor^lag per scan iteration,
+        # preserving the per-implicit-step growth rate.
+        for _ in range(1, lag):
+            base = y1
+
+            def one_reuse(_, yk, base=base):
+                return yk + apply_(fac, residual(yk, one, -base, h))
+
+            y1 = lax.fori_loop(0, reuse_iters, one_reuse, y1)
+        bad = ~jnp.isfinite(jnp.max(jnp.abs(y1), axis=(0, 1)))   # (B,)
+        ratio = jnp.clip(r_prev / jnp.maximum(r, tiny),
+                         0.25, grow_cap ** lag)
+        # Growth floor: pure SER stalls on this problem's long ignition
+        # plateau (the residual norm is nearly constant for most of the
+        # 6-decade pseudo-time traverse, so ratio ~= 1 and h never grows).
+        # While the step is healthy (residual not growing), advance at
+        # least geometrically — PTC needs no time accuracy, only Newton
+        # stability; SER then takes over when the residual starts falling.
+        ratio = jnp.where(ratio > 0.9,
+                          jnp.maximum(ratio, grow_floor ** lag), ratio)
+        h_next = jnp.where(bad, h * 0.25,
+                           jnp.minimum(h * ratio, h_max))
+        y_next = jnp.where(bad[None, None, :], y, y1)
+        return (y_next, h_next, r), None
+
+    h_init = jnp.full((bt,), h0, y0.dtype)
+    r0 = lane_norm(residual(y0, one, -y0, one))          # = |F(y0, 0)|
+    (y, h, r_last), _ = lax.scan(step, (y0, h_init, r0),
+                                 None, length=n_steps)
+
+    # Convergence certificate: final steady residual small relative to the
+    # lane's initial residual (r0 also fixes the per-lane unit scale).
+    r_end = lane_norm(residual(y, one, -y, one))
+    ok = jnp.isfinite(r_end) & (r_end < conv_tol * (r0 + 1.0))
+    return jnp.where(ok[None, None, :], y, jnp.nan)
