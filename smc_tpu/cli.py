@@ -129,7 +129,8 @@ def _run_inner(args, model, truth, cfg, key):
             verbose=not args.quiet)
         p = np.asarray(final.particles)
 
-    print(f"gamma: {float(final.gamma)}  steps: {int(final.step)}")
+    print(f"gamma: {float(final.gamma)}  steps: {int(final.step)}  "
+          f"log evidence: {float(final.log_evidence):.4f}")
     for i, nm in enumerate(model.param_names or
                            [f"p{i}" for i in range(p.shape[1])]):
         print(f"  {nm}: mean={p[:, i].mean():.6g} std={p[:, i].std():.4g}")

@@ -27,6 +27,9 @@ def _flatten(state: SMCState) -> dict:
 def _unflatten(d: dict) -> SMCState:
     kw = {k: jnp.asarray(np.asarray(v)) for k, v in d.items() if k != "key"}
     kw["key"] = jax.random.wrap_key_data(jnp.asarray(np.asarray(d["key"])))
+    # Fields added after a checkpoint was written load with their neutral
+    # value (forward compatibility for pre-evidence .npz/.smck snapshots).
+    kw.setdefault("log_evidence", jnp.zeros((), jnp.float32))
     return SMCState(**kw)
 
 

@@ -82,6 +82,7 @@ def init_state(key: jax.Array, model, cfg: SMCConfig,
         n_mh=zi, accepted=zi, n_gamma_reductions=zi,
         mh_ratio=jnp.ones((), cfg.dtype),
         total_lik_evals=jnp.asarray(float(cfg.n_particles), jnp.float32),
+        log_evidence=zf,
     )
 
 
@@ -123,6 +124,7 @@ def smc_step(state: SMCState, loglik_fn: LogLikFn, prior: Prior,
         n_gamma_reductions=g.n_reductions, mh_ratio=m.mh_ratio,
         total_lik_evals=state.total_lik_evals
         + m.n_steps.astype(jnp.float32) * state.particles.shape[0],
+        log_evidence=state.log_evidence + g.log_z_inc,
     )
 
 

@@ -46,7 +46,8 @@ def init_ensemble(key: jax.Array, prior: Prior, loglik_fn: DataLogLik,
             ess=jnp.ones((), cfg.dtype), max_log_lik=jnp.max(log_lik),
             n_mh=zi, accepted=zi, n_gamma_reductions=zi,
             mh_ratio=jnp.ones((), cfg.dtype),
-            total_lik_evals=jnp.asarray(float(cfg.n_particles), jnp.float32))
+            total_lik_evals=jnp.asarray(float(cfg.n_particles), jnp.float32),
+            log_evidence=jnp.zeros((), cfg.dtype))
 
     return jax.vmap(one)(keys, data)
 

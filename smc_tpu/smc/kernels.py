@@ -46,6 +46,10 @@ class GammaResult(NamedTuple):
     ess: jnp.ndarray          # () normalized ESS = 1/(N * sum w^2)
     n_reductions: jnp.ndarray  # () int32 shrink iterations used
     max_log_lik: jnp.ndarray  # ()
+    # log((1/N) sum_i exp(dgamma * ll_i)) — this tempering step's increment
+    # of the SMC marginal-likelihood (evidence) estimate, computed stably
+    # from the pre-normalization weight sum: dgamma*max_ll + log(S/N).
+    log_z_inc: jnp.ndarray    # ()
 
 
 def _ladder_ess(d_ll, gammas, gamma_old, n):
@@ -104,8 +108,10 @@ def find_gamma(log_lik: jnp.ndarray, gamma_old: jnp.ndarray,
         idx = idx.astype(jnp.int32)
         gamma = gammas[idx]
         weights = jnp.exp(d_ll * (gamma - gamma_old))
+        log_z = (gamma - gamma_old) * max_ll + jnp.log(s1[idx] / n)
         weights = weights / jnp.sum(weights)
-        return GammaResult(gamma, weights, ess_all[idx], idx, max_ll)
+        return GammaResult(gamma, weights, ess_all[idx], idx, max_ll,
+                           log_z.astype(d_ll.dtype))
 
     if n * n_cand <= (1 << 25):
         # Small-N fast path: all candidates in ONE fused pass — the chunked
@@ -118,8 +124,10 @@ def find_gamma(log_lik: jnp.ndarray, gamma_old: jnp.ndarray,
         idx = idx.astype(jnp.int32)
         gamma = gammas[idx]
         weights = jnp.exp(d_ll * (gamma - gamma_old))
-        weights = weights / jnp.sum(weights)
-        return GammaResult(gamma, weights, ess_all[idx], idx, max_ll)
+        s_w = jnp.sum(weights)
+        log_z = (gamma - gamma_old) * max_ll + jnp.log(s_w / n)
+        weights = weights / s_w
+        return GammaResult(gamma, weights, ess_all[idx], idx, max_ll, log_z)
 
     # Candidate ladder processed in chunks with early exit: bounds the
     # (chunk, N) working set (no multi-GB intermediate at 10^7+ particles)
@@ -158,8 +166,10 @@ def find_gamma(log_lik: jnp.ndarray, gamma_old: jnp.ndarray,
     idx = jnp.where(found_idx >= 0, found_idx, ks[-1]).astype(jnp.int32)
     gamma = gammas[idx]
     weights = jnp.exp(d_ll * (gamma - gamma_old))
-    weights = weights / jnp.sum(weights)
-    return GammaResult(gamma, weights, ess_sel, idx, max_ll)
+    s_w = jnp.sum(weights)
+    log_z = (gamma - gamma_old) * max_ll + jnp.log(s_w / n)
+    weights = weights / s_w
+    return GammaResult(gamma, weights, ess_sel, idx, max_ll, log_z)
 
 
 # --------------------------------------------------------------------------

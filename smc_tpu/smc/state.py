@@ -32,6 +32,13 @@ class SMCState:
     mh_ratio: jnp.ndarray         # () final proposal step ratio last step
     total_lik_evals: jnp.ndarray  # () int64-ish f32 count of per-particle
     # likelihood evaluations so far (N per sweep; the bench denominator)
+    # Running log marginal-likelihood (evidence) estimate: the standard
+    # SMC identity log Z = sum_k log( (1/N) sum_i exp(dgamma_k * ll_i) ),
+    # accumulated from each tempering step's UNnormalized incremental
+    # weights (kernels.find_gamma log_z_inc). The reference never computes
+    # this; tempered SMC yields it for free and it is the quantity model
+    # comparison needs. Exact value at gamma=1 estimates P(y | model).
+    log_evidence: jnp.ndarray     # ()
 
     @property
     def n_particles(self) -> int:

@@ -22,7 +22,8 @@ class MetricsLogger:
     """Append-only JSONL metrics stream, usable as a run_smc callback."""
 
     FIELDS = ("step", "gamma", "ess", "max_log_lik", "n_mh", "accepted",
-              "n_gamma_reductions", "mh_ratio", "total_lik_evals")
+              "n_gamma_reductions", "mh_ratio", "total_lik_evals",
+              "log_evidence")
 
     def __init__(self, path: str):
         self.path = path
