@@ -178,6 +178,7 @@ def cmd_ensemble(args):
     for d in range(args.datasets):
         print(f"dataset {d}: gamma={float(states.gamma[d]):.3f} "
               f"steps={int(states.step[d])} "
+              f"logZ={float(states.log_evidence[d]):.3f} "
               f"mean={np.round(p[d].mean(0), 4).tolist()}")
     return 0
 

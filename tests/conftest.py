@@ -18,3 +18,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+# Persistent compilation cache: the suite is dominated by XLA:CPU compiles
+# of the methanation DAE graphs on this one-core host (~32 min cold). With
+# the cache warm a repeat run skips straight to compute. Opt out with
+# SMC_TPU_TEST_CACHE=0 (e.g. to measure cold-compile behavior).
+if os.environ.get("SMC_TPU_TEST_CACHE", "1") != "0":
+    cache_dir = os.path.join(
+        os.path.expanduser("~"), ".cache", "smc_tpu", "xla_tests")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
