@@ -19,9 +19,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
-# Persistent compilation cache: the suite is dominated by XLA:CPU compiles
-# of the methanation DAE graphs on this one-core host (~32 min cold). With
-# the cache warm a repeat run skips straight to compute. Opt out with
+# Persistent compilation cache for repeat suite runs (harmless when cold;
+# measured saving is modest — suite time is tracing + compute + XLA compile
+# in comparable parts on this one-core host). Opt out with
 # SMC_TPU_TEST_CACHE=0 (e.g. to measure cold-compile behavior).
 if os.environ.get("SMC_TPU_TEST_CACHE", "1") != "0":
     cache_dir = os.path.join(

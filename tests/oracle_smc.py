@@ -63,6 +63,7 @@ def run_reference_smc(obs=None, s0=None, ts=None, n_particle=256, seed=0,
     p_pred = lo + rng.uniform(size=(n_particle, d)) * (hi - lo)
     lk = loglik_all(p_pred)
     gamma_old = 0.0
+    log_z = 0.0      # running evidence: sum_k log mean_i exp(dgamma*ll_i)
 
     for _ in range(1, itr_max):
         gamma_new = min(gamma_old + d_gamma_max, 1.0)
@@ -75,6 +76,8 @@ def run_reference_smc(obs=None, s0=None, ts=None, n_particle=256, seed=0,
             if ess > ess_limit:
                 break
             gamma_new = (gamma_new - gamma_old) * gm_rate + gamma_old
+        log_z += (gamma_new - gamma_old) * lk.max() + np.log(
+            np.exp(d_lk * (gamma_new - gamma_old)).mean())
 
         # residual-systematic resampling (Algorithm 2, sequential)
         p_is = np.trunc(p_weight * n_particle).astype(int)
@@ -125,4 +128,4 @@ def run_reference_smc(obs=None, s0=None, ts=None, n_particle=256, seed=0,
             break
         gamma_old = gamma_new
 
-    return p_pred, gamma_new
+    return p_pred, gamma_new, log_z

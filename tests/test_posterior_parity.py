@@ -58,24 +58,32 @@ def _assert_moment_parity(ref_posteriors, tpu_posteriors, atol_mean=1e-4):
 def test_mm_posterior_moments_match_reference_algorithm(n_particle):
     ts, obs, s0 = generate_mm_pseudo_data()
 
-    ref_posts = []
+    ref_posts, ref_logz = [], []
     for seed in (0, 1, 2, 3):
-        p_ref, gamma = run_reference_smc(obs, s0, ts, n_particle=n_particle,
-                                         seed=seed)
+        p_ref, gamma, lz = run_reference_smc(obs, s0, ts,
+                                             n_particle=n_particle,
+                                             seed=seed)
         assert gamma == 1.0
         ref_posts.append(p_ref)
+        ref_logz.append(lz)
 
     model = MichaelisMentenModel.default(obs=None, method="exact")
     model = dataclasses.replace(model, obs=jnp.asarray(obs),
                                 s0=jnp.asarray(s0), ts=jnp.asarray(ts))
     cfg = SMCConfig(n_particles=n_particle)
-    tpu_posts = []
+    tpu_posts, tpu_logz = [], []
     for seed in range(4):
         state = run_smc_on_device(model, cfg, jax.random.key(seed))
         assert float(state.gamma) == 1.0
         tpu_posts.append(np.asarray(state.particles))
+        tpu_logz.append(float(state.log_evidence))
 
     _assert_moment_parity(ref_posts, tpu_posts)
+    # Evidence parity: both samplers' log Z estimates are replicates of the
+    # same quantity; require Welch-style agreement like the moments.
+    se = np.sqrt(np.var(ref_logz, ddof=1) / len(ref_logz)
+                 + np.var(tpu_logz, ddof=1) / len(tpu_logz))
+    assert abs(np.mean(ref_logz) - np.mean(tpu_logz)) <= T_FACTOR * se + 0.05
 
 
 def test_methanation_posterior_moments_match_reference_algorithm():
@@ -104,7 +112,7 @@ def test_methanation_posterior_moments_match_reference_algorithm():
 
     ref_posts = []
     for seed in (0, 1, 2):
-        p_ref, gamma = run_reference_smc(
+        p_ref, gamma, _ = run_reference_smc(
             n_particle=n_particle, seed=seed, prior_low=lo, prior_high=hi,
             loglik_fn=loglik_np)
         assert gamma == 1.0
