@@ -59,6 +59,9 @@ class SMCConfig:
     max_steps: int = 50
     # Resampling scheme: "residual_systematic" (the reference's Algorithm 2)
     # or the "systematic" / "stratified" / "multinomial" variants.
+    # "ring" = residual-systematic with the O(N/S)-per-chip ring-exchange
+    # particle redistribution (parallel/resample_shmap.py) when the run is
+    # sharded; identical results (bitwise) to "residual_systematic".
     resampling: str = "residual_systematic"
     dtype: Any = jnp.float32
 
@@ -71,8 +74,9 @@ class SMCConfig:
             raise ValueError("gamma_reduction_rate must be in (0, 1)")
         if self.mh_steps < 1 or self.mh_steps_final < 1:
             raise ValueError("mh_steps / mh_steps_final must be >= 1")
-        if self.resampling not in ("residual_systematic", "systematic",
-                                   "stratified", "multinomial"):
+        if self.resampling not in ("residual_systematic", "ring",
+                                   "systematic", "stratified",
+                                   "multinomial"):
             raise ValueError(f"unknown resampling {self.resampling!r}")
 
     def cov_weight(self, d: int) -> jnp.ndarray:

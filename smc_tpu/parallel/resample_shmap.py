@@ -120,6 +120,9 @@ def resample_sharded(key: jax.Array, weights: jnp.ndarray,
         out_specs=(P(ax, None), P(ax)),
         check_vma=False)
     def _inner(key, w_l, parts_l, lk_l):
+        # O(N)-per-chip traffic + memory: every shard receives the full
+        # particle set. Kept as the simple reference form; the scalable
+        # path is resample_sharded_ring below.
         n_l = w_l.shape[0]
         counts = counts_local(key, w_l)
 
@@ -146,5 +149,112 @@ def resample_sharded(key: jax.Array, weights: jnp.ndarray,
         all_parts = jax.lax.all_gather(parts_l, ax).reshape(n, -1)
         all_lk = jax.lax.all_gather(lk_l, ax).reshape(n)
         return all_parts[my_anc], all_lk[my_anc]
+
+    return _inner(key, weights, particles, log_lik)
+
+
+def resample_sharded_ring(key: jax.Array, weights: jnp.ndarray,
+                          particles: jnp.ndarray, log_lik: jnp.ndarray,
+                          mesh: Mesh):
+    """Scale-out form of :func:`resample_sharded`: O(N/S) per-chip traffic
+    and memory instead of O(N).
+
+    Both the XLA-partitioned kernel and :func:`resample_sharded` move the
+    FULL particle payload to every chip (all-gather) — measured 52
+    B/particle/step of ICI traffic for the MM step
+    (benchmarks/scaling_model.py), the one per-step collective that grows
+    with N and the blocker for 10^8+-particle meshes (per-chip memory
+    O(N)). This kernel exploits the structure of residual-systematic
+    ancestors: slot starts are NONDECREASING in global particle id, so the
+    ancestors of shard s's contiguous output slots form a contiguous id
+    range — after resampling, particle order correlates with weight-mass
+    quantiles, so that range is almost always s's own block plus a
+    neighbor (the ancestor map stays near-diagonal across SMC steps).
+
+    Algorithm (inside one shard_map body):
+    - offspring counts exactly as the single-chip kernel (chunked-int32;
+      bitwise-identical at any N), all collectives scalar-sized;
+    - global slot starts per local particle by integer shard offsets;
+    - fill my n/S output slots from my OWN block (searchsorted over the
+      block's sorted starts — zero communication, resolves ~everything
+      when the map is near-diagonal);
+    - while any shard still has unfilled slots (psum — the same value on
+      every shard, so the loop trip count is globally agreed): rotate two
+      block-sized buffers (particles, log-liks, starts, counts) around the
+      ring with lax.ppermute — one forward, one backward — and fill from
+      both. Round r covers blocks s-r..s+r, so the loop terminates in at
+      most ceil((S-1)/2) rounds and in practice 0-1.
+
+    Per-round traffic: 2 block payloads per chip = 2N(d+2)*4/S bytes —
+    at S=8, d=3 that is ~16x less than the all-gather forms (and it only
+    gets better with S). Output is BITWISE-equal to
+    jnp.take(particles, counts_to_ancestors(residual_systematic_counts())):
+    same draw, same integer counts, same sorted-slot ancestor semantics
+    (tests/test_sharding.py::test_ring_resampler_matches_single_chip).
+
+    Replaces: the reference's host-global resampling copy loop
+    (SMC_example/Micmem_SMC_main.py:146-184) — there, "communication" is
+    free shared memory; on a TPU pod it is ICI, and this kernel is the
+    ICI-native form.
+    """
+    ax = PARTICLE_AXIS
+    n = weights.shape[0]
+    counts_local = resample_counts_sharded_fn(n, ax)
+    n_shards = mesh.shape[ax]
+    fwd = [((i + 1) % n_shards, i) for i in range(n_shards)]  # recv s+r
+    bwd = [((i - 1) % n_shards, i) for i in range(n_shards)]  # recv s-r
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(ax), P(ax, None), P(ax)),
+        out_specs=(P(ax, None), P(ax)),
+        check_vma=False)
+    def _inner(key, w_l, parts_l, lk_l):
+        n_l = w_l.shape[0]
+        idx = jax.lax.axis_index(ax)
+        counts = counts_local(key, w_l)
+        csum = jnp.cumsum(counts)
+        starts = csum - counts + _exclusive_shard_offset(csum[-1], ax)
+
+        slots = idx * n_l + jnp.arange(n_l, dtype=jnp.int32)
+
+        def fill(state, buf):
+            out_p, out_l, filled = state
+            b_starts, b_counts, b_parts, b_lk = buf
+            # owner of slot k in this block: last j with b_starts[j] <= k
+            # (ties from zero-count particles always resolve to the owner:
+            # every j past the owner has start > k).
+            j = jnp.searchsorted(b_starts, slots, side="right") - 1
+            jc = jnp.clip(j, 0, n_l - 1)
+            ok = ((j >= 0) & (b_starts[jc] <= slots)
+                  & (slots < b_starts[jc] + b_counts[jc]))
+            take = ok & ~filled
+            out_p = jnp.where(take[:, None], b_parts[jc], out_p)
+            out_l = jnp.where(take, b_lk[jc], out_l)
+            return out_p, out_l, filled | ok
+
+        state = fill((jnp.zeros_like(parts_l), jnp.zeros_like(lk_l),
+                      jnp.zeros((n_l,), bool)),
+                     (starts, counts, parts_l, lk_l))
+        missing = jax.lax.psum(jnp.sum(~state[2]), ax)
+        buf0 = (starts, counts, parts_l, lk_l)
+
+        def cond(c):
+            return c[4] > 0
+
+        def body(c):
+            state, buf_f, buf_b, r, _ = c
+            buf_f = jax.tree_util.tree_map(
+                lambda x: jax.lax.ppermute(x, ax, fwd), buf_f)
+            buf_b = jax.tree_util.tree_map(
+                lambda x: jax.lax.ppermute(x, ax, bwd), buf_b)
+            state = fill(fill(state, buf_f), buf_b)
+            return (state, buf_f, buf_b, r + 1,
+                    jax.lax.psum(jnp.sum(~state[2]), ax))
+
+        (out_p, out_l, _), _, _, _, _ = jax.lax.while_loop(
+            cond, body, (state, buf0, buf0, jnp.zeros((), jnp.int32),
+                         missing))
+        return out_p, out_l
 
     return _inner(key, weights, particles, log_lik)

@@ -102,7 +102,16 @@ def smc_step(state: SMCState, loglik_fn: LogLikFn, prior: Prior,
         return jax.lax.with_sharding_constraint(x, psharding)
 
     g = find_gamma(state.log_lik, state.gamma, cfg)
-    if cfg.resampling == "residual_systematic":
+    if cfg.resampling == "ring" and psharding is not None:
+        # Scale-out path: ring-exchange redistribution, O(N/S) traffic and
+        # memory per chip (parallel/resample_shmap.resample_sharded_ring);
+        # bitwise-equal to the "residual_systematic" branch below.
+        from smc_tpu.parallel.resample_shmap import resample_sharded_ring
+        parts, lk = resample_sharded_ring(
+            k_res, g.weights, state.particles, state.log_lik,
+            psharding.mesh)
+        parts, lk = pin(parts), pin(lk)
+    elif cfg.resampling in ("residual_systematic", "ring"):
         # Gather-free path: sorted ancestors let the particle/log-lik copy
         # run as scatter + batched prefix sum (bitwise-equal to the gather;
         # kernels.residual_systematic_apply).

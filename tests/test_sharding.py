@@ -61,6 +61,37 @@ def test_full_sharded_run_posterior(model):
     assert abs(p[:, 1].mean() - 0.5) < 0.15
 
 
+def test_ring_resampling_full_run_matches_default(model):
+    """A full sharded run with cfg.resampling="ring" (ring-exchange
+    redistribution inside the fused program) produces the same posterior as
+    the default path — the resampler swap is exact, so the whole runs match
+    to compilation-fusion noise."""
+    mesh = make_mesh()
+    key = jax.random.key(9)
+    s_def = run_smc_sharded(model, SMCConfig(n_particles=512), key, mesh,
+                            on_device=True, verbose=False)
+    s_ring = run_smc_sharded(model,
+                             SMCConfig(n_particles=512, resampling="ring"),
+                             key, mesh, on_device=True, verbose=False)
+    assert float(s_ring.gamma) == 1.0
+    assert int(s_ring.step) == int(s_def.step)
+    np.testing.assert_allclose(np.asarray(s_ring.particles),
+                               np.asarray(s_def.particles),
+                               rtol=1e-5, atol=1e-6)
+    assert not s_ring.particles.sharding.is_fully_replicated
+
+
+def test_ring_resampling_unsharded_fallback(model):
+    """cfg.resampling="ring" without a mesh falls back to the identical
+    single-chip residual-systematic path."""
+    cfg = SMCConfig(n_particles=256, resampling="ring")
+    s = run_smc_on_device(model, cfg, jax.random.key(2))
+    s0 = run_smc_on_device(model, SMCConfig(n_particles=256),
+                           jax.random.key(2))
+    np.testing.assert_array_equal(np.asarray(s.particles),
+                                  np.asarray(s0.particles))
+
+
 def test_indivisible_particle_count_raises(model):
     mesh = make_mesh()
     with pytest.raises(ValueError):
@@ -116,6 +147,33 @@ def test_explicit_shard_map_resampler_matches_single_chip():
     anc = residual_systematic_resample(key, w)
     psh = particle_sharding(mesh)
     out_p, out_l = resample_sharded(
+        key, jax.device_put(w, psh), jax.device_put(parts, psh),
+        jax.device_put(lk, psh), mesh)
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(parts[anc]))
+    np.testing.assert_array_equal(np.asarray(out_l), np.asarray(lk[anc]))
+    assert not out_p.sharding.is_fully_replicated
+
+
+@pytest.mark.parametrize("concentration", [2.0, 12.0])
+def test_ring_resampler_matches_single_chip(concentration):
+    """The O(N/S)-traffic ring-exchange resampler
+    (parallel/resample_shmap.resample_sharded_ring) is bitwise-equal to the
+    single-chip kernel: same draw, same integer counts, same sorted-slot
+    ancestors. concentration=12 makes the weights spike on a few particles
+    so ancestors span many shards — forcing multiple ppermute rounds (the
+    data-dependent while_loop path), not just the local round-0 fill."""
+    from smc_tpu.parallel.resample_shmap import resample_sharded_ring
+    from smc_tpu.smc.kernels import residual_systematic_resample
+    mesh = make_mesh()
+    n, d = 1024, 3
+    key = jax.random.key(11)
+    w = jax.nn.softmax(
+        jax.random.normal(jax.random.key(4), (n,)) * concentration)
+    parts = jax.random.normal(jax.random.key(2), (n, d))
+    lk = jax.random.normal(jax.random.key(3), (n,))
+    anc = residual_systematic_resample(key, w)
+    psh = particle_sharding(mesh)
+    out_p, out_l = resample_sharded_ring(
         key, jax.device_put(w, psh), jax.device_put(parts, psh),
         jax.device_put(lk, psh), mesh)
     np.testing.assert_array_equal(np.asarray(out_p), np.asarray(parts[anc]))
