@@ -31,6 +31,12 @@ def _add_common(p):
     p.add_argument("--mesh", type=int, default=0,
                    help="shard the particle axis over this many devices "
                         "(0 = single device)")
+    p.add_argument("--resampling", default="residual_systematic",
+                   choices=["residual_systematic", "ring", "systematic",
+                            "stratified", "multinomial"],
+                   help="resampling scheme; 'ring' = residual-systematic "
+                        "with O(N/S)-per-chip ring-exchange redistribution "
+                        "on sharded runs (bitwise-identical results)")
     p.add_argument("--device-loop", action="store_true",
                    help="fuse the whole run into one XLA program "
                         "(no per-step artifacts)")
@@ -66,6 +72,16 @@ def _build_model(args):
                                          particle_chunk=args.chunk)
         truth = list(KIN_TRUE) + [SIGMA_TRUE]
         return m, [truth[i] for i in m.est_idx]
+    if args.model == "lv":
+        from smc_tpu.models.generic import (LV_TRUE, LV_TRUE_NOISE,
+                                            lotka_volterra_model)
+        return lotka_volterra_model(), list(LV_TRUE) + [LV_TRUE_NOISE]
+    if args.model == "robertson":
+        from smc_tpu.models.generic import (ROBERTSON_TRUE,
+                                            ROBERTSON_TRUE_NOISE,
+                                            robertson_model)
+        return (robertson_model(),
+                list(ROBERTSON_TRUE) + [ROBERTSON_TRUE_NOISE])
     if args.model == "banana":
         from smc_tpu.models.synthetic import BananaModel
         return BananaModel(), None
@@ -80,7 +96,9 @@ def _cfg(args):
     return SMCConfig(n_particles=args.particles, max_steps=args.max_steps,
                      mh_steps=args.mh_steps,
                      mh_steps_final=args.mh_steps_final,
-                     ess_limit=args.ess_limit)
+                     ess_limit=args.ess_limit,
+                     resampling=getattr(args, "resampling",
+                                        "residual_systematic"))
 
 
 def cmd_run(args):
@@ -226,7 +244,8 @@ def main(argv=None):
 
     pr = sub.add_parser("run", help="run tempered-SMC inference")
     pr.add_argument("--model", default="mm",
-                    choices=["mm", "methanation", "banana", "gmm"])
+                    choices=["mm", "methanation", "banana", "gmm", "lv",
+                             "robertson"])
     pr.add_argument("--mm-method", default="rk4",
                     choices=["rk4", "dopri5", "exact", "pallas",
                              "pallas_exact"])

@@ -33,6 +33,33 @@ def test_sharded_counts_bitwise_match_at_2e24():
                                   np.asarray(counts_single))
 
 
+def test_ring_resampler_bitwise_match_at_2e24():
+    """The O(N/S)-traffic ring-exchange resampler stays bitwise-equal to
+    the single-chip kernel past the fp32 cliff: its slot arithmetic
+    (idx * n_local + iota, searchsorted over int32 slot starts) must be
+    integer-exact at 2^24. Payload kept to d=1 so the virtual CPU mesh
+    holds the buffers."""
+    from smc_tpu.parallel.resample_shmap import resample_sharded_ring
+    from smc_tpu.smc.kernels import residual_systematic_resample
+
+    n = 1 << 24
+    mesh = make_mesh()
+    key = jax.random.key(77)
+    w = jax.nn.softmax(
+        jax.random.normal(jax.random.key(5), (n,), jnp.float32) * 4.0)
+    parts = jax.random.normal(jax.random.key(6), (n, 1))
+    lk = parts[:, 0]
+
+    anc = np.asarray(jax.jit(residual_systematic_resample)(key, w))
+    psh = particle_sharding(mesh)
+    out_p, out_l = resample_sharded_ring(
+        key, jax.device_put(w, psh), jax.device_put(parts, psh),
+        jax.device_put(lk, psh), mesh)
+    parts_np = np.asarray(parts)
+    np.testing.assert_array_equal(np.asarray(out_p), parts_np[anc])
+    np.testing.assert_array_equal(np.asarray(out_l), parts_np[anc, 0])
+
+
 def test_sharded_counts_bitwise_match_offgrid_sizes():
     """Non-power-of-two N and adversarially uniform weights (every residual
     identical — maximal carry pressure in the chunked cumsum)."""
