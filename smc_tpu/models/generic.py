@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from smc_tpu.ops.implicit_ode import bdf2_grid
+from smc_tpu.ops.implicit_ode import bdf2_grid, make_consistent
 from smc_tpu.ops.ode import dopri5_grid, rk4_grid
 from smc_tpu.priors import Prior
 
@@ -72,6 +72,17 @@ class ODEModel:
          estimate; trajectories past ``err_tol`` are masked to -inf), or
          "bdf2" (implicit, stiff-capable — ops/implicit_ode.bdf2_grid;
          the per-particle Newton residual feeds the same err_tol mask).
+    alg_mask: optional (state_dim,) bools — True rows are ALGEBRAIC
+         constraints ``0 = rhs_i`` (semi-explicit index-1 DAE; requires
+         method="bdf2"). y0 is projected onto the constraint manifold by
+         an IDA-style consistent-initialization Newton solve
+         (ops/implicit_ode.make_consistent) before integrating, and its
+         residual joins the err_tol divergence mask.
+    jac: optional analytic Jacobian ``(t, y, params) -> [col_0, ...,
+         col_{n-1}]`` (each column (state_dim, n_series, N)) for the bdf2
+         Newton solves; default builds columns with ``jax.linearize``
+         tangent passes (n per iteration) — analytic columns save that
+         when the rhs is expensive.
     """
 
     rhs: Callable
@@ -86,6 +97,12 @@ class ODEModel:
     est_sigma: bool = True
     sigma_fixed: float = 1.0
     err_tol: float = jnp.inf
+    alg_mask: Optional[Tuple[bool, ...]] = None
+    jac: Optional[Callable] = None
+
+    def __post_init__(self):
+        if self.alg_mask is not None and self.method != "bdf2":
+            raise ValueError("alg_mask (DAE rows) requires method='bdf2'")
 
     def _split(self, theta: jnp.ndarray):
         names = (self.param_names[:-1] if self.est_sigma
@@ -107,12 +124,21 @@ class ODEModel:
         def f(t, y):
             return self.rhs(t, y, params)
 
+        jac = (None if self.jac is None
+               else lambda t, y: self.jac(t, y, params))
         n = theta.shape[0]
         Y0 = jnp.broadcast_to(self.y0[..., None].astype(theta.dtype),
                               self.y0.shape + (n,))
         if self.method == "bdf2":
+            err0 = None
+            if self.alg_mask is not None:
+                Y0, err0 = make_consistent(f, Y0, self.ts[0], self.alg_mask,
+                                           jac=jac)
             ys, err = bdf2_grid(f, Y0, self.ts.astype(theta.dtype),
-                                substeps=self.substeps)
+                                substeps=self.substeps,
+                                alg_mask=self.alg_mask, jac=jac)
+            if err0 is not None:
+                err = jnp.maximum(err, err0)
         elif self.method == "dopri5":
             ys, err = dopri5_grid(f, Y0, self.ts.astype(theta.dtype),
                                   substeps=max(1, self.substeps // 2))
@@ -213,20 +239,43 @@ def _robertson_observe(y):
     return jnp.stack([y[0, 0], 1e4 * y[1, 0], y[2, 0]])
 
 
+def robertson_dae_rhs(t, y, p):
+    """Robertson in its standard semi-explicit DAE form: the third row is
+    the mass-conservation ALGEBRAIC constraint a+b+c = 1 instead of dc/dt
+    (the form SUNDIALS IDA ships as its own example problem — the same
+    engine the reference delegates its stiff model to,
+    methanation_set_likelihood.py:169)."""
+    k1 = 10.0 ** p["lk1"]
+    k2 = 10.0 ** p["lk2"]
+    k3 = 10.0 ** p["lk3"]
+    a, b, c = y[0], y[1], y[2]
+    da = -k1 * a + k3 * b * c
+    db = k1 * a - k3 * b * c - k2 * b * b
+    return jnp.stack([da, db, a + b + c - 1.0])
+
+
 def robertson_model(key=None, n_points: int = 25, substeps: int = 6,
-                    noise_std: float = ROBERTSON_TRUE_NOISE) -> ODEModel:
+                    noise_std: float = ROBERTSON_TRUE_NOISE,
+                    form: str = "ode") -> ODEModel:
     """Stiff demo: infer log10 rate constants of the Robertson system from
-    noisy observations of all three species on a log-spaced time grid."""
+    noisy observations of all three species on a log-spaced time grid.
+
+    form="dae" uses the semi-explicit DAE formulation (third row the
+    algebraic conservation constraint, ``alg_mask``) with IDA-style
+    consistent initialization — same posterior, exercises the generic
+    user-DAE path."""
     ts = jnp.concatenate([jnp.zeros((1,)),
                           jnp.logspace(-2.0, 4.0, n_points - 1)])
     y0 = jnp.asarray([[1.0], [0.0], [0.0]], jnp.float32)
     prior = Prior.uniform([-3.0, 5.5, 2.5, 1e-3],
                           [0.0, 8.5, 5.5, 0.1])
-    m = ODEModel(rhs=robertson_rhs,
+    dae = form == "dae"
+    m = ODEModel(rhs=robertson_dae_rhs if dae else robertson_rhs,
                  param_names=("lk1", "lk2", "lk3", "sigma"),
                  prior=prior, obs=jnp.zeros((3, n_points)), ts=ts, y0=y0,
                  observe=_robertson_observe, method="bdf2",
-                 substeps=substeps, err_tol=1e-3)
+                 substeps=substeps, err_tol=1e-3,
+                 alg_mask=(False, False, True) if dae else None)
     if key is None:
         key = jax.random.key(20250206)
     return m.generate_data(ROBERTSON_TRUE + (0.0,), key, noise_std)

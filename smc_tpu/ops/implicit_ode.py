@@ -29,6 +29,13 @@ Design (mirrors ops/ode.py's fixed-grid steppers):
   can mask non-converged particles to -inf log-likelihood (the same
   failure contract as dopri5_grid's embedded error and the reference's
   -10000 sentinel, methanation_set_likelihood.py:244).
+- Semi-explicit index-1 DAEs via ``alg_mask``: rows flagged algebraic
+  contribute ``0 = f_i(t, y)`` instead of ``dy_i/dt = f_i`` — the same
+  differential/algebraic split IDA expresses through ``algvar`` +
+  ``suppress_alg`` in the reference (methanation_set_likelihood.py:183-187)
+  — and :func:`make_consistent` is the ``make_consistent('IDA_YA_YDP_INIT')``
+  analog (:188): a Newton projection of the algebraic components onto the
+  constraint manifold with the differential components pinned.
 """
 from __future__ import annotations
 
@@ -36,6 +43,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from smc_tpu.ops.dae_fast import solve7
@@ -51,22 +59,81 @@ def _build_jac(f, t, y, n):
     return cols
 
 
-def _newton_step(f, jac, t, y_iter, alpha, const, h, n):
-    """One full-Newton update for G(y) = alpha*y + const - h*f(t, y) = 0."""
+def _diff_mask(alg_mask, n):
+    """Static per-row 1.0 (differential) / 0.0 (algebraic) multipliers."""
+    if alg_mask is None:
+        return [1.0] * n
+    m = np.asarray(alg_mask)
+    if m.shape != (n,):
+        raise ValueError(f"alg_mask shape {m.shape} != ({n},)")
+    return [0.0 if bool(a) else 1.0 for a in m]
+
+
+def _newton_step(f, jac, t, y_iter, alpha, const, h, n, m):
+    """One full-Newton update for the BDF system
+
+        G_i(y) = m_i*(alpha*y_i + const_i) - h*f_i(t, y) = 0
+
+    where m_i is the static differential/algebraic row multiplier
+    (m_i = 0 turns row i into the scaled algebraic constraint -h*f_i = 0;
+    the h scaling keeps the Jacobian A = alpha*diag(m) - h*J uniformly
+    conditioned for index-1 systems)."""
     cols = jac(t, y_iter) if jac is not None else _build_jac(f, t, y_iter, n)
-    # A = alpha*I - h*J, batch-last (n, n, *batch).
+    # A = alpha*diag(m) - h*J, batch-last (n, n, *batch).
     A = jnp.stack([
-        jnp.stack([alpha * (1.0 if i == j else 0.0) - h * cols[j][i]
+        jnp.stack([alpha * (m[i] if i == j else 0.0) - h * cols[j][i]
                    for j in range(n)])
         for i in range(n)])
-    g = alpha * y_iter + const - h * f(t, y_iter)
+    fv = f(t, y_iter)
+    g = jnp.stack([m[i] * (alpha * y_iter[i] + const[i]) - h * fv[i]
+                   for i in range(n)])
     delta = solve7(A, -g[:, None], pivot=True)[:, 0]
     return y_iter + delta, g
 
 
+def make_consistent(f: Callable, y0: jnp.ndarray, t0, alg_mask,
+                    newton_iters: int = 8, jac: Optional[Callable] = None):
+    """Project y0's ALGEBRAIC components onto f_alg(t0, y) = 0.
+
+    The differential components are pinned (Newton rows ``y_i - y0_i = 0``);
+    the algebraic rows solve their constraints exactly — the on-device
+    equivalent of IDA's ``make_consistent('IDA_YA_YDP_INIT')``
+    (reference methanation_set_likelihood.py:188).
+
+    Returns (y0_consistent, resid) where resid is the per-lane max-abs
+    algebraic residual after the last iteration, shape ``batch`` — feed it
+    to the same divergence mask as the integrator residual.
+    """
+    n = y0.shape[0]
+    m = _diff_mask(alg_mask, n)
+
+    def one(carry, _):
+        y, _ = carry
+        cols = jac(t0, y) if jac is not None else _build_jac(f, t0, y, n)
+        A = jnp.stack([
+            jnp.stack([(m[i] * (1.0 if i == j else 0.0)
+                        + (1.0 - m[i]) * cols[j][i])
+                       for j in range(n)])
+            for i in range(n)])
+        fv = f(t0, y)
+        g = jnp.stack([m[i] * (y[i] - y0[i]) + (1.0 - m[i]) * fv[i]
+                       for i in range(n)])
+        delta = solve7(A, -g[:, None], pivot=True)[:, 0]
+        res = jnp.max(jnp.abs(g), axis=0)
+        return (y + delta, res), None
+
+    zero_res = jnp.zeros(y0.shape[1:], y0.dtype)
+    (y, res), _ = lax.scan(one, (y0, zero_res), None, length=newton_iters)
+    # Residual of the RETURNED iterate (not the pre-update one).
+    fv = f(t0, y)
+    res = jnp.max(jnp.abs(jnp.stack(
+        [(1.0 - m[i]) * fv[i] for i in range(n)])), axis=0)
+    return y, res
+
+
 def bdf2_grid(f: Callable, y0: jnp.ndarray, ts: jnp.ndarray,
               substeps: int = 4, newton_iters: int = 3,
-              jac: Optional[Callable] = None):
+              jac: Optional[Callable] = None, alg_mask=None):
     """Stiff-capable BDF2 on a fixed observation grid.
 
     f:  (t, y) -> dy/dt with y shaped (n, *batch) — n state components,
@@ -76,14 +143,21 @@ def bdf2_grid(f: Callable, y0: jnp.ndarray, ts: jnp.ndarray,
     jac: optional (t, y) -> [column_0, ..., column_{n-1}] analytic
         Jacobian columns (each (n, *batch)); default builds them with n
         ``jax.linearize`` tangent passes per Newton iteration.
+    alg_mask: optional static (n,) bools — True rows are ALGEBRAIC:
+        the system is the semi-explicit index-1 DAE
+        ``dy_i/dt = f_i`` (mask False) / ``0 = f_i`` (mask True), the
+        split IDA expresses via algvar+suppress_alg in the reference
+        (methanation_set_likelihood.py:183-187). y0 must be consistent —
+        use :func:`make_consistent` first.
 
     Returns (ys, max_resid): ys (T, n, *batch) with ys[0] == y0, and the
     max-abs Newton residual of the LAST iteration over the whole
-    trajectory (scaled by h: resid = |alpha*y + const - h*f|) — a
+    trajectory (scaled by h: resid = |m*(alpha*y + const) - h*f|) — a
     per-batch-lane-reduced scalar-per-lane array of shape batch, usable
     as a divergence mask exactly like dopri5_grid's embedded error.
     """
     n = y0.shape[0]
+    m = _diff_mask(alg_mask, n)
 
     def coeffs(y_n, y_nm1, h, h_prev, is_first):
         # Variable-step BDF2; BDF1 on the first global substep
@@ -102,11 +176,11 @@ def bdf2_grid(f: Callable, y0: jnp.ndarray, ts: jnp.ndarray,
         y = y_n + r * (y_n - y_nm1)
 
         def one(_, y):
-            y, _ = _newton_step(f, jac, t1, y, alpha, const, h, n)
+            y, _ = _newton_step(f, jac, t1, y, alpha, const, h, n, m)
             return y
 
         y = lax.fori_loop(0, newton_iters - 1, one, y)
-        y, g = _newton_step(f, jac, t1, y, alpha, const, h, n)
+        y, g = _newton_step(f, jac, t1, y, alpha, const, h, n, m)
         res = jnp.max(jnp.abs(g), axis=0)          # (*batch,)
         return (y, y_n, h, jnp.maximum(res_acc, res)), None
 
