@@ -15,7 +15,9 @@ from smc_tpu.smc.driver import (init_state, make_smc_step, make_run_on_device,
 from smc_tpu.smc.kernels import (
     find_gamma,
     residual_systematic_resample,
+    mala_mutation,
     mh_mutation,
+    mutate,
 )
 
 __version__ = "0.1.0"

@@ -37,6 +37,11 @@ def _add_common(p):
                    help="resampling scheme; 'ring' = residual-systematic "
                         "with O(N/S)-per-chip ring-exchange redistribution "
                         "on sharded runs (bitwise-identical results)")
+    p.add_argument("--mutation", default="rwm", choices=["rwm", "mala"],
+                   help="mutation kernel: the reference's adaptive RW-"
+                        "Metropolis, or preconditioned MALA (gradient "
+                        "drift through the differentiable simulator; not "
+                        "available with the opaque pallas likelihoods)")
     p.add_argument("--device-loop", action="store_true",
                    help="fuse the whole run into one XLA program "
                         "(no per-step artifacts)")
@@ -48,6 +53,10 @@ def _build_model(args):
     from smc_tpu.models.michaelis_menten import (
         MichaelisMentenModel, MM_TRUE_VMAX, MM_TRUE_KM, MM_TRUE_NOISE)
     if args.model == "mm":
+        if (getattr(args, "mutation", "rwm") == "mala"
+                and args.mm_method.startswith("pallas")):
+            raise SystemExit("--mutation mala needs a differentiable "
+                             "likelihood; use --mm-method exact/rk4/dopri5")
         m = MichaelisMentenModel.default(method=args.mm_method)
         return m, [MM_TRUE_VMAX, MM_TRUE_KM, MM_TRUE_NOISE]
     if args.model == "methanation":
@@ -76,11 +85,12 @@ def _build_model(args):
         from smc_tpu.models.generic import (LV_TRUE, LV_TRUE_NOISE,
                                             lotka_volterra_model)
         return lotka_volterra_model(), list(LV_TRUE) + [LV_TRUE_NOISE]
-    if args.model == "robertson":
+    if args.model in ("robertson", "robertson-dae"):
         from smc_tpu.models.generic import (ROBERTSON_TRUE,
                                             ROBERTSON_TRUE_NOISE,
                                             robertson_model)
-        return (robertson_model(),
+        form = "dae" if args.model.endswith("dae") else "ode"
+        return (robertson_model(form=form),
                 list(ROBERTSON_TRUE) + [ROBERTSON_TRUE_NOISE])
     if args.model == "banana":
         from smc_tpu.models.synthetic import BananaModel
@@ -98,7 +108,8 @@ def _cfg(args):
                      mh_steps_final=args.mh_steps_final,
                      ess_limit=args.ess_limit,
                      resampling=getattr(args, "resampling",
-                                        "residual_systematic"))
+                                        "residual_systematic"),
+                     mutation=getattr(args, "mutation", "rwm"))
 
 
 def cmd_run(args):
@@ -245,7 +256,7 @@ def main(argv=None):
     pr = sub.add_parser("run", help="run tempered-SMC inference")
     pr.add_argument("--model", default="mm",
                     choices=["mm", "methanation", "banana", "gmm", "lv",
-                             "robertson"])
+                             "robertson", "robertson-dae"])
     pr.add_argument("--mm-method", default="rk4",
                     choices=["rk4", "dopri5", "exact", "pallas",
                              "pallas_exact"])

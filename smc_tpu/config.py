@@ -63,6 +63,11 @@ class SMCConfig:
     # particle redistribution (parallel/resample_shmap.py) when the run is
     # sharded; identical results (bitwise) to "residual_systematic".
     resampling: str = "residual_systematic"
+    # Mutation kernel: "rwm" = the reference's adaptive random-walk
+    # Metropolis (Micmem_SMC_main.py:186-251). "mala" = preconditioned
+    # Metropolis-adjusted Langevin (gradient drift through the simulator —
+    # requires a differentiable log_likelihood; see smc.kernels.mala_mutation).
+    mutation: str = "rwm"
     dtype: Any = jnp.float32
 
     def __post_init__(self):
@@ -78,6 +83,8 @@ class SMCConfig:
                                    "systematic", "stratified",
                                    "multinomial"):
             raise ValueError(f"unknown resampling {self.resampling!r}")
+        if self.mutation not in ("rwm", "mala"):
+            raise ValueError(f"unknown mutation {self.mutation!r}")
 
     def cov_weight(self, d: int) -> jnp.ndarray:
         """Proposal-covariance elementwise weight matrix.

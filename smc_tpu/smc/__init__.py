@@ -2,6 +2,8 @@ from smc_tpu.smc.state import SMCState
 from smc_tpu.smc.kernels import (
     find_gamma,
     residual_systematic_resample,
+    mala_mutation,
     mh_mutation,
+    mutate,
 )
 from smc_tpu.smc.driver import init_state, make_smc_step, run_smc, run_smc_on_device

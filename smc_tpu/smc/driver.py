@@ -27,7 +27,7 @@ from jax import lax
 
 from smc_tpu.config import SMCConfig
 from smc_tpu.priors import Prior
-from smc_tpu.smc.kernels import (find_gamma, mh_mutation,
+from smc_tpu.smc.kernels import (find_gamma, mutate,
                                  residual_systematic_apply,
                                  residual_systematic_resample)
 from smc_tpu.smc.state import SMCState
@@ -124,7 +124,7 @@ def smc_step(state: SMCState, loglik_fn: LogLikFn, prior: Prior,
         parts = pin(jnp.take(state.particles, ancestors, axis=0))
         lk = pin(jnp.take(state.log_lik, ancestors, axis=0))
 
-    m = mh_mutation(k_mh, parts, lk, g.gamma, loglik_fn, prior, cfg)
+    m = mutate(k_mh, parts, lk, g.gamma, loglik_fn, prior, cfg)
 
     return state.replace(
         particles=pin(m.particles), log_lik=pin(m.log_lik), gamma=g.gamma,

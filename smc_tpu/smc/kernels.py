@@ -575,3 +575,133 @@ def mh_mutation(key: jax.Array,
             jnp.zeros((), bool))
     j, _, parts, lk1, _, r_ac, ratio, _ = lax.while_loop(cond, body, init)
     return MutationResult(parts, lk1, j, jnp.sum(r_ac), ratio)
+
+
+# --------------------------------------------------------------------------
+# Preconditioned MALA mutation (gradient-based; beyond-reference capability)
+# --------------------------------------------------------------------------
+def mala_mutation(key: jax.Array,
+                  particles: jnp.ndarray,
+                  log_lik: jnp.ndarray,
+                  gamma: jnp.ndarray,
+                  loglik_fn: Callable[[jnp.ndarray],
+                                      Tuple[jnp.ndarray, object]],
+                  prior: Prior,
+                  cfg: SMCConfig) -> MutationResult:
+    """Preconditioned Metropolis-adjusted Langevin mutation sweeps.
+
+    Same adaptive scaffolding as :func:`mh_mutation` (per-sweep empirical
+    covariance preconditioner, support clipping, accepted-at-least-once
+    early stop, step-ratio halving — the reference's controller,
+    Micmem_SMC_main.py:186-251) but the proposal drifts along the
+    likelihood gradient, which JAX provides exactly through the on-device
+    simulator — a move the reference's black-box SciPy/SUNDIALS workers
+    cannot make (their solvers are not differentiable). HMC/Langevin
+    mutation inside tempered SMC follows Buchholz, Chopin & Jacob,
+    "Adaptive Tuning of Hamiltonian Monte Carlo within Sequential Monte
+    Carlo" (arXiv:1808.07730).
+
+    Proposal with preconditioner S = cov(particles)*cov_weight = L L^T and
+    step ratio eps:
+
+        theta' = theta + (eps^2/2) * gamma * grad_ll(theta) @ S
+                       + eps * z @ L^T,  z ~ N(0, I)
+
+    (the drift uses the TEMPERED-LIKELIHOOD gradient only; the exact MH
+    correction below makes the chain target gamma*ll + log-prior exactly
+    for ANY prior, smooth or not). Acceptance, in log space:
+
+        (lk2-lk1)*gamma + (lp2-lp1) + log q(theta|theta') - log q(theta'|theta)
+
+    with log q(x|y) = -|L^{-1}(x - y - drift(y))|^2 / (2 eps^2) (+ const).
+    The forward term telescopes to -|z|^2/2 for free; the reverse term is
+    one small (d,d) triangular inversion + an MXU (d,d)@(d,N) matmul.
+
+    Non-finite likelihood gradients (diverged trajectories, -inf rows) are
+    sanitized to 0 — those rows fall back to a pure random-walk proposal
+    and stay subject to the exact accept test, so failures cost mixing,
+    never correctness (the -inf/never-NaN invariant holds throughout).
+
+    Requires ``loglik_fn`` to be JAX-differentiable; each sweep costs one
+    VJP in addition to the forward sweep (~3x an RWM sweep) and buys
+    O(d)-better mixing on smooth targets.
+    """
+    n, d = particles.shape
+    final = gamma >= 1.0
+    n_mh = jnp.where(final, cfg.mh_steps_final,
+                     cfg.mh_steps).astype(jnp.int32)
+    r_th = jnp.where(final, cfg.accept_threshold_final, cfg.accept_threshold)
+    cov_weight = cfg.cov_weight(d).astype(particles.dtype)
+
+    def ll_and_grad(th):
+        def s(t):
+            ll, _ = loglik_fn(t)
+            # zero cotangent on -inf rows; the per-row sum makes the single
+            # VJP yield every particle's own gradient (rows are independent)
+            return jnp.sum(jnp.where(jnp.isfinite(ll), ll, 0.0)), ll
+        g, ll = jax.grad(s, has_aux=True)(th)
+        return ll, jnp.where(jnp.isfinite(g), g, 0.0)
+
+    log_prior_cur0 = prior.log_pdf(particles)
+    _, g0 = ll_and_grad(particles)
+
+    def cond(c):
+        j, key, parts, lk1, lp1, g1, r_ac, ratio, done = c
+        return (j < n_mh) & ~done
+
+    def body(c):
+        j, key, parts, lk1, lp1, g1, r_ac, ratio, done = c
+        key, k_z, k_u = jax.random.split(key, 3)
+
+        cov = _weighted_cov(parts, cov_weight)
+        chol = jnp.linalg.cholesky(cov)
+        # L^{-1} once per sweep on the tiny (d,d); the per-particle solve is
+        # then a plain (d,d)@(d,N) matmul (no large-batch LU custom call —
+        # see CLAUDE.md hazard).
+        linv = jax.scipy.linalg.solve_triangular(
+            chol, jnp.eye(d, dtype=parts.dtype), lower=True)
+        half_e2 = 0.5 * ratio * ratio * gamma
+        z = jax.random.normal(k_z, (n, d), dtype=parts.dtype)
+        prop = parts + half_e2 * (g1 @ cov) + (z @ chol.T) * ratio
+
+        in_sup = prior.in_support(prop)
+        prop_eval = jnp.where(in_sup[:, None], prop, parts)
+        lk2, g2 = ll_and_grad(prop_eval)
+        lp2 = prior.log_pdf(prop_eval)
+
+        # reverse-move residual and its whitened norm
+        u = parts - prop_eval - half_e2 * (g2 @ cov)
+        v = linv @ u.T                                  # (d, N)
+        log_q_rev = -0.5 * jnp.sum(v * v, axis=0) / (ratio * ratio)
+        log_q_fwd = -0.5 * jnp.sum(z * z, axis=1)
+
+        log_u = jnp.log(jax.random.uniform(k_u, (n,), dtype=parts.dtype))
+        log_acc = ((lk2 - lk1) * gamma + (lp2 - lp1)
+                   + log_q_rev - log_q_fwd)
+        accept = in_sup & (log_acc >= log_u) & jnp.isfinite(lk2)
+
+        parts = jnp.where(accept[:, None], prop_eval, parts)
+        lk1 = jnp.where(accept, lk2, lk1)
+        lp1 = jnp.where(accept, lp2, lp1)
+        g1 = jnp.where(accept[:, None], g2, g1)
+        r_ac = r_ac | accept
+
+        acc_sum = jnp.sum(r_ac)
+        done = acc_sum > r_th * n
+        ratio = jnp.where(~done & (acc_sum < cfg.accept_threshold_min * n),
+                          ratio * cfg.mh_ratio_decay, ratio)
+        return j + 1, key, parts, lk1, lp1, g1, r_ac, ratio, done
+
+    init = (jnp.zeros((), jnp.int32), key, particles, log_lik,
+            log_prior_cur0, g0, jnp.zeros((n,), bool),
+            jnp.ones((), particles.dtype), jnp.zeros((), bool))
+    j, _, parts, lk1, _, _, r_ac, ratio, _ = lax.while_loop(cond, body, init)
+    return MutationResult(parts, lk1, j, jnp.sum(r_ac), ratio)
+
+
+def mutate(key: jax.Array, particles: jnp.ndarray, log_lik: jnp.ndarray,
+           gamma: jnp.ndarray, loglik_fn, prior: Prior,
+           cfg: SMCConfig) -> MutationResult:
+    """Dispatch to the configured mutation kernel (cfg.mutation)."""
+    fn = mala_mutation if cfg.mutation == "mala" else mh_mutation
+    return fn(key, particles, log_lik, gamma, loglik_fn, prior, cfg)

@@ -1,0 +1,82 @@
+"""Preconditioned MALA mutation (cfg.mutation="mala").
+
+A beyond-reference capability: gradient drift through the differentiable
+on-device simulator (the reference's SciPy/SUNDIALS workers are black
+boxes, so its only option is random-walk Metropolis,
+Micmem_SMC_main.py:186-251). Correctness bar: MALA is just a different
+proposal inside the same exact MH accept step, so every posterior the RWM
+kernel targets must be reproduced — pinned here on (a) an analytic
+Gaussian target with known moments, (b) the banana ridge vs the RWM
+kernel, (c) the MM ODE end-to-end with gradients THROUGH the integrator.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smc_tpu import SMCConfig, run_smc
+from smc_tpu.priors import Prior
+
+
+@dataclasses.dataclass(frozen=True)
+class _GaussianTarget:
+    """ll(x) = -|x - mu|^2 / (2 s^2): posterior at gamma=1 is N(mu, s^2)
+    (prior uniform and much wider than s)."""
+    mu: tuple = (1.5, -2.0, 0.5)
+    s: float = 0.3
+    prior: Prior = dataclasses.field(
+        default_factory=lambda: Prior.uniform([-8.0] * 3, [8.0] * 3))
+    param_names: tuple = ("x0", "x1", "x2")
+
+    def log_likelihood(self, theta):
+        d = theta - jnp.asarray(self.mu, theta.dtype)
+        return -0.5 * jnp.sum(d * d, axis=1) / self.s ** 2, None
+
+
+def test_mala_targets_exact_gaussian():
+    model = _GaussianTarget()
+    cfg = SMCConfig(n_particles=4096, mutation="mala")
+    state = run_smc(model, cfg, jax.random.key(0), verbose=False)
+    assert float(state.gamma) == 1.0
+    p = np.asarray(state.particles)
+    se = model.s / np.sqrt(4096)            # iid SE; SMC is correlated, 10x
+    np.testing.assert_allclose(p.mean(0), model.mu, atol=10 * se)
+    np.testing.assert_allclose(p.std(0), model.s, rtol=0.15)
+
+
+def test_mala_matches_rwm_on_banana():
+    from smc_tpu.models.synthetic import BananaModel
+    model = BananaModel()
+    k = jax.random.key(3)
+    s_rwm = run_smc(model, SMCConfig(n_particles=4096), k, verbose=False)
+    s_mala = run_smc(model, SMCConfig(n_particles=4096, mutation="mala"), k,
+                     verbose=False)
+    pr, pm = np.asarray(s_rwm.particles), np.asarray(s_mala.particles)
+    # same invariant target: moments agree within cross-replica MC noise
+    np.testing.assert_allclose(pm.mean(0), pr.mean(0), atol=0.25)
+    np.testing.assert_allclose(pm.std(0), pr.std(0), rtol=0.3)
+    # the ridge x1 = x0^2 is resolved
+    resid = pm[:, 1] - pm[:, 0] ** 2
+    assert abs(resid.mean()) < 0.1
+
+
+def test_mala_through_ode_integrator():
+    """Gradients flow THROUGH rk4_grid: end-to-end MM posterior with MALA
+    mutation recovers the truth (Vmax=1.2, Km=0.5, sigma=0.02)."""
+    from smc_tpu.models.michaelis_menten import MichaelisMentenModel
+    model = MichaelisMentenModel.default(method="exact")
+    cfg = SMCConfig(n_particles=512, mutation="mala")
+    state = run_smc(model, cfg, jax.random.key(1), verbose=False)
+    assert float(state.gamma) == 1.0
+    p = np.asarray(state.particles)
+    mean, std = p.mean(0), p.std(0)
+    truth = np.asarray([1.2, 0.5, 0.02])
+    assert np.all(np.abs(mean - truth) < 5 * std + 0.02)
+    assert not np.any(np.isnan(p))
+
+
+def test_unknown_mutation_rejected():
+    with pytest.raises(ValueError):
+        SMCConfig(mutation="hmcmc")
