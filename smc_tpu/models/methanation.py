@@ -634,6 +634,123 @@ def _analytic_full_jac(flags, condv, kin, pad_cols: int = 0):
     return jac
 
 
+def _make_steady_solve(steady_kwargs: dict):
+    """custom_vjp-wrapped steady-state solve: the DIFFERENTIABLE flagship
+    likelihood path.
+
+    Forward = the SER-PTC march (``ops.dae_fast.steady_march_bl``; its
+    while/fori internals need no AD rules). Backward = the implicit-
+    function-theorem adjoint at the converged state: with F(y*, kin) = 0,
+
+        dl/dkin = -lambda^T dF/dkin,   Jh^T lambda = dl/dy*,
+
+    i.e. ONE transposed block-tridiagonal solve (the transpose of a block
+    tridiag is block tridiag with swapped/shifted blocks) plus one VJP of
+    the residual rows w.r.t. the kinetic parameters — no backprop through
+    the march, no stored trajectory. This is what the reference's SUNDIALS
+    IDA black box structurally cannot provide (its solver is opaque to
+    autodiff; methanation_set_likelihood.py:169) and what enables
+    gradient-based mutation (cfg ``mutation="mala"``) and MAP optimization
+    on the flagship DAE.
+
+    Jh = dF/dy* + D/h_max is the march's own terminal Newton system, NOT
+    the bare steady Jacobian: the discretized steady reactor J = dF/dy* is
+    numerically SINGULAR (measured cond ~1e18 — a null direction along
+    which F is flat; the dynamics pick the realized state). The true
+    sensitivity exists (finite differences are stable), which forces the
+    solvability condition lambda_null^T dF/dkin = 0 — so the null
+    component that makes |lambda| grow linearly in h CANCELS exactly in
+    the kin contraction, and the regularized adjoint converges to the
+    true gradient as h grows (measured: matches central differences to
+    0.2% at h = h_max = 1e6, the march's own terminal mass coefficient;
+    pinned by tests/test_methanation_grad.py).
+
+    Failed lanes (yf = NaN from the march's convergence certificate) yield
+    NaN adjoints in THEIR lanes only (lanes never mix in the block solves);
+    downstream consumers sanitize per-particle (mala_mutation zeroes
+    non-finite gradients; the -10000 sentinel already zeroes the value
+    path), preserving the never-NaN likelihood invariant.
+
+    The y0 (initial guess) and condv (experiment conditions) cotangents are
+    exactly zero: the steady state does not depend on the guess, and the
+    conditions are data, not parameters.
+    """
+    from smc_tpu.ops.dae_fast import (_newton_kit, block_thomas_bl,
+                                      steady_march_bl)
+
+    jac_mode = steady_kwargs.get("jac_mode", "full")
+    pad = steady_kwargs.get("pad", 0)
+    kw = {k: v for k, v in steady_kwargs.items() if k not in ("jac_mode",
+                                                              "pad")}
+
+    def _ajac(flags, condv, kin_bl):
+        return {"full": lambda: _analytic_full_jac(flags, condv, kin_bl,
+                                                   pad_cols=pad),
+                "cd": lambda: _analytic_CD_jac(flags, condv, pad_cols=pad),
+                "ad": lambda: None}[jac_mode]()
+
+    # flags is an explicit operand (not a closure capture): under jit even
+    # constants are staged to tracers, and a tracer captured by the
+    # custom_vjp's bwd closure would leak into the later backward trace
+    # (UnexpectedTracerError). Its cotangent is defined zero.
+    @jax.custom_vjp
+    def solve(kin_bl, condv, flags, y0):
+        def rows(y_m, y, y_p, yd):
+            return _rows_bl(y_m, y, y_p, yd, flags, condv, kin_bl)
+        return steady_march_bl(rows, y0,
+                               analytic_jac=_ajac(flags, condv, kin_bl),
+                               **kw)
+
+    def fwd(kin_bl, condv, flags, y0):
+        yf = solve(kin_bl, condv, flags, y0)
+        return yf, (kin_bl, condv, flags, yf)
+
+    def bwd(res, ybar):
+        kin_bl, condv, flags, yf = res
+
+        def rows(y_m, y, y_p, yd):
+            return _rows_bl(y_m, y, y_p, yd, flags, condv, kin_bl)
+
+        # Regularized steady Jacobian Jh = dF/dy + D/h_max at y* — the
+        # march's terminal Newton system (alpha=1, const=-y*: yd = 0 at
+        # the point, mass term D/h_max regularizes the singular bare J;
+        # see docstring), edge-folded consistently with the residual's
+        # neighbor shifts; scan layout (NX, 7, 7, B).
+        ajac = _analytic_full_jac(flags, condv, kin_bl, pad_cols=0)
+        _, _, build_blocks, _, _, _ = _newton_kit(
+            rows, yf, True, ajac, "thomas")
+        h_max = jnp.asarray(kw.get("h_max", 1e6), yf.dtype)
+        A_, B_, C_, _ = build_blocks(yf, 1.0, -yf, h_max)
+
+        # J^T is block-tridiagonal with sub'_i = C_{i-1}^T, diag' = B_i^T,
+        # super'_i = A_{i+1}^T (blockwise transpose = swap the two 7-axes).
+        def swapT(M):
+            return jnp.swapaxes(M, 1, 2)
+
+        zpad = jnp.zeros_like(A_[:1])
+        A_T = jnp.concatenate([zpad, swapT(C_)[:-1]], axis=0)
+        C_T = jnp.concatenate([swapT(A_)[1:], zpad], axis=0)
+        lam = block_thomas_bl(A_T, swapT(B_), C_T,
+                              jnp.moveaxis(ybar, 1, 0), pivot=True)
+
+        # kin cotangent: rhs_fn returns -F rows, so pulling lam through it
+        # gives -lam^T dF/dkin — exactly dl/dkin.
+        def rhs_fn(kin):
+            y_m = jnp.concatenate([yf[:, :1], yf[:, :-1]], axis=1)
+            y_p = jnp.concatenate([yf[:, 1:], yf[:, -1:]], axis=1)
+            Fv = _rows_bl(y_m, yf, y_p, jnp.zeros_like(yf), flags, condv,
+                          kin)
+            return -jnp.moveaxis(Fv, 1, 0)
+
+        _, pull = jax.vjp(rhs_fn, kin_bl)
+        kbar = pull(lam)[0]
+        return (kbar, jnp.zeros_like(condv), jnp.zeros_like(flags),
+                jnp.zeros_like(yf))
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
 def methanation_prior(est_idx=EST_DEFAULT, mode: str = "uniform") -> Prior:
     """Prior over the estimated parameter subset.
 
@@ -870,16 +987,18 @@ class MethanationModel:
                 "cd": lambda: _analytic_CD_jac(flags, condv, pad_cols=pad),
                 "ad": lambda: None}[self.jac_mode]()
         if self.march == "steady":
-            from smc_tpu.ops.dae_fast import steady_march_bl
-            yf = steady_march_bl(rows, y0, n_steps=self.ptc_steps,
-                                 h0=self.ptc_dt0,
-                                 grow_cap=self.ptc_growth,
-                                 grow_floor=self.ptc_floor,
-                                 lag=self.ptc_lag,
-                                 reuse_iters=self.ptc_reuse_iters,
-                                 newton_iters=self.newton_iters,
-                                 pivot=self.pivot, analytic_jac=ajac,
-                                 solver=solver)
+            # custom_vjp wrapper: same forward march; gradients via the
+            # steady-state implicit-function-theorem adjoint (see
+            # _make_steady_solve) — the flagship's differentiable path.
+            solve = _make_steady_solve(
+                dict(jac_mode=self.jac_mode, pad=pad,
+                     n_steps=self.ptc_steps, h0=self.ptc_dt0,
+                     grow_cap=self.ptc_growth,
+                     grow_floor=self.ptc_floor, lag=self.ptc_lag,
+                     reuse_iters=self.ptc_reuse_iters,
+                     newton_iters=self.newton_iters,
+                     pivot=self.pivot, solver=solver))
+            yf = solve(kin_bl, condv, flags, y0)
         else:
             yf = bdf_march_bl(rows, y0, self._dts(),
                               newton_iters=self.newton_iters,
