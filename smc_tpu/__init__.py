@@ -19,5 +19,6 @@ from smc_tpu.smc.kernels import (
     mh_mutation,
     mutate,
 )
+from smc_tpu.opt import MAPResult, map_estimate
 
 __version__ = "0.1.0"

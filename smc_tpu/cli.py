@@ -79,6 +79,9 @@ def _build_model(args):
             m = MethanationModel.default(n_conditions=args.conditions,
                                          datalist=datalist,
                                          particle_chunk=args.chunk)
+        if getattr(args, "march", None):
+            import dataclasses
+            m = dataclasses.replace(m, march=args.march)
         truth = list(KIN_TRUE) + [SIGMA_TRUE]
         return m, [truth[i] for i in m.est_idx]
     if args.model == "lv":
@@ -187,6 +190,28 @@ def cmd_resume(args):
     return 0
 
 
+def cmd_map(args):
+    import jax
+    from smc_tpu.opt import map_estimate
+    from smc_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+    model, truth = _build_model(args)
+    res = map_estimate(model, jax.random.key(args.seed),
+                       n_starts=args.starts, steps=args.steps, lr=args.lr)
+    names = getattr(model, "param_names", None) or [
+        f"p{i}" for i in range(res.theta.shape[0])]
+    print(f"log posterior (unnormalized): {float(res.log_post):.4f}  "
+          f"({args.starts} starts, {args.steps} Adam steps)")
+    import numpy as np
+    th = np.asarray(res.theta)
+    for i, nm in enumerate(names[:th.shape[0]]):
+        line = f"  {nm}: {th[i]:.6g}"
+        if truth is not None:
+            line += f"   (true {truth[i]:.6g})"
+        print(line)
+    return 0
+
+
 def cmd_ensemble(args):
     import jax
     import jax.numpy as jnp
@@ -284,6 +309,28 @@ def main(argv=None):
     ps.add_argument("--datalist", default=None)
     _add_common(ps)
     ps.set_defaults(fn=cmd_resume)
+
+    pm = sub.add_parser("map", help="gradient MAP point estimate "
+                                    "(multi-start Adam; differentiable "
+                                    "models only)")
+    pm.add_argument("--model", default="mm",
+                    choices=["mm", "methanation", "banana", "gmm", "lv",
+                             "robertson", "robertson-dae"])
+    pm.add_argument("--mm-method", default="exact",
+                    choices=["rk4", "dopri5", "exact"])
+    pm.add_argument("--conditions", type=int, default=30)
+    pm.add_argument("--chunk", type=int, default=128)
+    pm.add_argument("--datalist", default=None)
+    pm.add_argument("--data-dir", default=None)
+    pm.add_argument("--information-csv", default=None)
+    pm.add_argument("--march", default="steady",
+                    help="methanation march (MAP needs the differentiable "
+                         "'steady' path)")
+    pm.add_argument("--starts", type=int, default=8)
+    pm.add_argument("--steps", type=int, default=800)
+    pm.add_argument("--lr", type=float, default=0.1)
+    pm.add_argument("--seed", type=int, default=0)
+    pm.set_defaults(fn=cmd_map)
 
     pe = sub.add_parser("ensemble",
                         help="hierarchical multi-dataset MM ensemble")

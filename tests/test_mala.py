@@ -80,3 +80,18 @@ def test_mala_through_ode_integrator():
 def test_unknown_mutation_rejected():
     with pytest.raises(ValueError):
         SMCConfig(mutation="hmcmc")
+
+
+def test_mala_fused_device_loop_matches_host_loop():
+    """mutation dispatch must work identically inside the fused whole-run
+    while_loop program (the deployment path)."""
+    from smc_tpu import run_smc_on_device
+    model = _GaussianTarget()
+    cfg = SMCConfig(n_particles=1024, mutation="mala")
+    k = jax.random.key(7)
+    s_host = run_smc(model, cfg, k, verbose=False)
+    s_dev = run_smc_on_device(model, cfg, k)
+    np.testing.assert_allclose(np.asarray(s_dev.particles),
+                               np.asarray(s_host.particles),
+                               rtol=1e-5, atol=1e-5)
+    assert float(s_dev.gamma) == 1.0
