@@ -66,19 +66,22 @@ def _build_model(args):
         datalist = None
         if getattr(args, "datalist", None):
             datalist = tuple(int(s) for s in args.datalist.split(","))
+        nx_kw = {}
+        if getattr(args, "nx", None):
+            nx_kw["nx"] = args.nx
         if getattr(args, "information_csv", None):
             m = MethanationModel.from_reference_csv(
                 args.information_csv, datalist=datalist,
-                particle_chunk=args.chunk)
+                particle_chunk=args.chunk, **nx_kw)
         elif getattr(args, "data_dir", None):
             m = MethanationModel.from_csv(
                 os.path.join(args.data_dir, "conditions.csv"),
                 os.path.join(args.data_dir, "data.csv"),
-                datalist=datalist, particle_chunk=args.chunk)
+                datalist=datalist, particle_chunk=args.chunk, **nx_kw)
         else:
             m = MethanationModel.default(n_conditions=args.conditions,
                                          datalist=datalist,
-                                         particle_chunk=args.chunk)
+                                         particle_chunk=args.chunk, **nx_kw)
         if getattr(args, "march", None):
             import dataclasses
             m = dataclasses.replace(m, march=args.march)
@@ -296,6 +299,9 @@ def main(argv=None):
     pr.add_argument("--datalist", default=None,
                     help="methanation: comma-separated experiment indices "
                          "to subset, e.g. 0,2 (the reference's datalist)")
+    pr.add_argument("--nx", type=int, default=None,
+                    help="methanation: reactor grid points (default 51, "
+                         "the reference's NX)")
     _add_common(pr)
     pr.set_defaults(fn=cmd_run)
 
@@ -307,6 +313,7 @@ def main(argv=None):
     ps.add_argument("--conditions", type=int, default=30)
     ps.add_argument("--chunk", type=int, default=128)
     ps.add_argument("--datalist", default=None)
+    ps.add_argument("--nx", type=int, default=None)
     _add_common(ps)
     ps.set_defaults(fn=cmd_resume)
 
@@ -323,6 +330,7 @@ def main(argv=None):
     pm.add_argument("--datalist", default=None)
     pm.add_argument("--data-dir", default=None)
     pm.add_argument("--information-csv", default=None)
+    pm.add_argument("--nx", type=int, default=None)
     pm.add_argument("--march", default="steady",
                     help="methanation march (MAP needs the differentiable "
                          "'steady' path)")

@@ -189,7 +189,9 @@ class Conditions:
         """
         raw = np.genfromtxt(path, delimiter=",", skip_header=1,
                             filling_values=0.0)
-        raw = np.atleast_2d(raw)
+        # genfromtxt still yields NaN for empty cells (filling_values only
+        # covers flagged missing tokens); the reference does fillna(0).
+        raw = np.nan_to_num(np.atleast_2d(raw), nan=0.0)
         if datalist is not None:
             raw = raw[np.asarray(datalist)]
         t_jacket = raw[:, 5] + 273.0

@@ -144,10 +144,18 @@ def run_with_artifacts(model, cfg: SMCConfig, key,
 
     ``mesh``: optional jax.sharding.Mesh — the particle axis is sharded over
     it, including on resume (a loaded checkpoint is re-sharded before the
-    run continues)."""
-    rd = rundir or RunDir(tag=type(model).__name__)
-    rd.archive_config(cfg, model)
-    mgr = RunManager(rd, model, cfg, true_values, plots_enabled)
+    run continues).
+
+    On a multi-host pod only the primary host (jax.process_index()==0) owns
+    artifact IO: non-primary processes run the same SPMD compute but create
+    no run dir, write no files, and return rundir=None."""
+    from smc_tpu.parallel.multihost import is_primary_host
+    primary = is_primary_host()
+    rd = (rundir or RunDir(tag=type(model).__name__)) if primary else None
+    mgr = None
+    if primary:
+        rd.archive_config(cfg, model)
+        mgr = RunManager(rd, model, cfg, true_values, plots_enabled)
 
     psharding = None
     if mesh is not None:
@@ -165,15 +173,18 @@ def run_with_artifacts(model, cfg: SMCConfig, key,
             state = init_state(key, model, cfg)
         if mesh is not None:
             state = shard_state(state, mesh)
-        mgr.on_init(state)
+        if mgr is not None:
+            mgr.on_init(state)
         state = run_smc(model, cfg, key, callback=mgr, state=state,
-                        verbose=verbose, psharding=psharding)
-        if verbose:
+                        verbose=verbose and primary, psharding=psharding)
+        if verbose and primary:
             print(f"end_time:{time.perf_counter() - t0}")
-        mgr.finalize(state)
+        if mgr is not None:
+            mgr.finalize(state)
     except BaseException:
         import traceback
-        with open(rd.file("error.log"), "a") as f:
-            f.write(traceback.format_exc())
+        if rd is not None:
+            with open(rd.file("error.log"), "a") as f:
+                f.write(traceback.format_exc())
         raise
     return state, rd
