@@ -1,0 +1,104 @@
+"""Simulation-based calibration of the SMC sampler (smc_tpu/smc/sbc.py).
+
+Converts the reference's only validation mechanism — "the posterior
+histogram brackets the truth vline" (methanation_functions.py:194) — into
+a statistical calibration proof: over replicate prior-draw -> simulate ->
+posterior cycles, the rank of the truth among posterior draws must be
+uniform (Talts et al. 2018). The replicates run as ONE fused ensemble
+program, which is what makes this affordable enough for the default suite.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smc_tpu.config import SMCConfig
+from smc_tpu.priors import Prior
+from smc_tpu.smc.sbc import rank_chi2_pvalues, sbc_ranks
+
+L = 63  # posterior rank draws per replicate
+
+
+def _mm_setup():
+    from smc_tpu.models.michaelis_menten import make_mm_data_loglik
+    ts = jnp.linspace(0.0, 10.0, 40)
+    s0 = jnp.asarray([2.0, 1.0, 4.0], jnp.float32)
+    prior = Prior.uniform([0.5, 0.1, 0.01], [2.0, 1.5, 0.05])
+    loglik = make_mm_data_loglik(ts, s0, method="exact")
+
+    def simulate(key, theta):
+        vmax, km, sigma = theta[0], theta[1], theta[2]
+        km_safe = jnp.maximum(km, 1e-8)
+        logz = (jnp.log(s0 / km_safe)[None]
+                + (s0[None] - vmax * ts[:, None]) / km_safe)   # (T, n_ds)
+        from smc_tpu.ops.lambertw import lambertw
+        S = km_safe * lambertw(jnp.exp(jnp.clip(logz, -60.0, 60.0)))
+        P_true = (s0[None] - S).T                              # (n_ds, T)
+        return P_true + sigma * jax.random.normal(key, P_true.shape)
+
+    return prior, simulate, loglik
+
+
+def test_sbc_mm_ranks_uniform():
+    """64 replicate MM posteriors: per-dimension chi-square on the rank
+    histogram must not reject uniformity (alpha = 1e-3; under the null this
+    flakes ~0.3% per dimension, and a biased sampler fails by orders of
+    magnitude — see the power check below)."""
+    prior, simulate, loglik = _mm_setup()
+    cfg = SMCConfig(n_particles=512)
+    ranks, thetas, states = sbc_ranks(
+        jax.random.key(0), prior, simulate, loglik,
+        n_replicates=64, cfg=cfg, n_rank_draws=L)
+    assert ranks.shape == (64, 3)
+    pvals = rank_chi2_pvalues(ranks, L)
+    assert (pvals > 1e-3).all(), f"SBC uniformity rejected: p={pvals}"
+
+    # Power check: the SAME posteriors judged against a truth shifted by
+    # ~1 posterior sd must fail decisively — i.e. the test statistic can
+    # actually see miscalibration at the scale that matters.
+    post_sd = np.asarray(states.particles).std(1).mean(0)      # (d,)
+    shifted = jnp.asarray(thetas + post_sd[None, :])
+
+    def one_rank(k, particles, truth):
+        idx = jax.random.choice(k, cfg.n_particles, (L,), replace=False)
+        return jnp.sum((particles[idx] < truth[None, :]).astype(jnp.int32),
+                       axis=0)
+
+    bad_ranks = np.asarray(jax.vmap(one_rank)(
+        jax.random.split(jax.random.key(7), 64), states.particles, shifted))
+    bad_p = rank_chi2_pvalues(bad_ranks, L)
+    assert (bad_p < 1e-4).all(), f"power check: shifted truth passed {bad_p}"
+
+
+def test_sbc_methanation_small():
+    """Small methanation SBC (flagship model family in the calibration
+    loop): 12 replicates x 64 particles on a coarse grid, estimating
+    (Af, sigma). Too few replicates for a chi-square, so the assertion is
+    on the mean normalized rank: under calibration it is 0.5 with
+    sd = 1/sqrt(12 R); a one-sided-collapsed posterior (the failure mode
+    ridge-identifiability arguments worry about) sits near 0 or 1."""
+    import dataclasses
+
+    from smc_tpu.models.methanation import KIN_TRUE, MethanationModel
+
+    R = 12
+    model = MethanationModel.default(
+        n_conditions=2, nx=11, n_steps=6, growth=1.6, est_idx=(0, 8),
+        particle_chunk=64, noise=False)
+    prior = Prior.uniform([8.0, 3.0], [20.0, 8.0])   # Af, sigma
+    kin_rest = jnp.asarray(KIN_TRUE, jnp.float32)
+
+    def simulate(key, theta):
+        kin = kin_rest.at[0].set(theta[0])
+        flows = model.simulate_flows(kin)            # (5, n_cond)
+        return flows + theta[1] * jax.random.normal(key, flows.shape)
+
+    def loglik(theta, obs):
+        return dataclasses.replace(model, obs=obs).log_likelihood(theta)
+
+    cfg = SMCConfig(n_particles=64, mh_steps=3, mh_steps_final=5)
+    ranks, _, _ = sbc_ranks(jax.random.key(1), prior, simulate, loglik,
+                            n_replicates=R, cfg=cfg, n_rank_draws=L)
+    mean_norm = ranks.mean(0) / L
+    sd = 1.0 / np.sqrt(12.0 * R)
+    assert (np.abs(mean_norm - 0.5) < 4.0 * sd).all(), \
+        f"mean normalized ranks {mean_norm} outside 0.5 +/- {4 * sd:.3f}"
