@@ -30,6 +30,14 @@ def main(n: int = 256, chunk: int = 128):
         reps += 1
     dt = (time.perf_counter() - t0) / reps
     pps = n / dt
+    # Measured single-core CPU baselines for the SAME discrete problem
+    # (benchmarks/cpu_baseline_methanation.py, oracle-checked; docs/PERF.md
+    # "Measured CPU baseline"); x30 = the reference's n_cores=30 node
+    # assuming linear scaling (generous to the CPU).
+    CPU_REF_PPS_CORE = 0.092    # per-particle sparse-LU Newton (reference
+    #                             architecture class; IDA-equivalent method)
+    CPU_BEST_PPS_CORE = 19.9    # XLA:CPU jit of this very engine (strongest
+    #                             measured single-core implementation)
     print(json.dumps({
         "metric": "methanation DAE likelihood throughput",
         "value": round(pps, 1),
@@ -37,6 +45,8 @@ def main(n: int = 256, chunk: int = 128):
         "dae_solves_per_s": round(pps * 30, 1),
         "sweep_ms": round(dt * 1e3, 2),
         "chunk": chunk,
+        "vs_30core_reference_equiv": round(pps / (30 * CPU_REF_PPS_CORE), 1),
+        "vs_30core_best_cpu": round(pps / (30 * CPU_BEST_PPS_CORE), 2),
     }))
 
 
