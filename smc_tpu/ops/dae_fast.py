@@ -38,6 +38,23 @@ from jax import lax
 # over). Static under jit; see docs/PERF.md.
 _NX_UNROLL = 6
 
+# Array-form block LU/solves inside the Thomas sweeps (lu7_*_arr): measured
+# experiment flag, read at trace time (benchmarks/ab_lu_arr.py).
+_LU_ARR = False
+
+
+def _lu_f(Bp):
+    return lu7_nopivot_arr(Bp) if _LU_ARR else lu7_nopivot(Bp)
+
+
+def _lu_s(LU, r):
+    return lu7_solve_arr(LU, r) if _LU_ARR else lu7_solve(LU, r)
+
+
+def _lu_sT(LU, r):
+    return lu7_solve_T_arr(LU, r) if _LU_ARR else lu7_solve_T(LU, r)
+
+
 # Fuse the block-Thomas factorization's forward sweep with the first
 # right-hand side's forward sweep (one scan instead of two per factor
 # step). MEASURED NEGATIVE on v5e (benchmarks/ab_fused_factor.py,
@@ -132,6 +149,62 @@ def lu7_solve(LU: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([jnp.stack(X[i]) for i in range(n)])
 
 
+def lu7_nopivot_arr(A: jnp.ndarray) -> jnp.ndarray:
+    """Array-form of ``lu7_nopivot``: identical arithmetic per entry, but
+    each elimination step is ~3 wide (n, n, B) ops instead of ~n^2
+    lane-width ops — the small-op-scheduling experiment of
+    benchmarks/ab_lu_arr.py (PERF.md pins the march as bound by op
+    scheduling, not FLOPs; trading 12.5% sublane padding of the n=7 axis
+    for ~20x fewer op issues). Toggle with ``_LU_ARR``."""
+    n = A.shape[0]
+    rows = jnp.arange(n)
+    M = A
+    for c in range(n):
+        inv_p = 1.0 / M[c, c]                                  # (B,)
+        f = jnp.where((rows > c)[:, None], M[:, c] * inv_p, 0.0)  # (n, B)
+        colmask = (rows > c).astype(M.dtype)[:, None]          # cols > c
+        M = M - f[:, None, :] * (M[c] * colmask)[None]
+        M = M.at[:, c].set(jnp.where((rows > c)[:, None], f, M[:, c]))
+    return M
+
+
+def lu7_solve_arr(LU: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Array-form of ``lu7_solve`` (column-sweep substitution; summation
+    order differs from the loop form by fp reassociation only)."""
+    n = LU.shape[0]
+    rows = jnp.arange(n)
+    Y = rhs                                                    # (n, k, B)
+    for c in range(n):            # L y = rhs (unit diagonal)
+        fcol = jnp.where((rows > c)[:, None], LU[:, c], 0.0)   # (n, B)
+        Y = Y - fcol[:, None, :] * Y[c][None]
+    X = jnp.zeros_like(Y)
+    for c in range(n - 1, -1, -1):  # U x = y
+        xc = Y[c] / LU[c, c]
+        X = X.at[c].set(xc)
+        ucol = jnp.where((rows < c)[:, None], LU[:, c], 0.0)
+        Y = Y - ucol[:, None, :] * xc[None]
+    return X
+
+
+def lu7_solve_T_arr(LU: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Array-form of ``lu7_solve_T``: U^T y = rhs then L^T x = y."""
+    n = LU.shape[0]
+    rows = jnp.arange(n)
+    Y = rhs
+    for c in range(n):            # U^T y = rhs (lower tri, diag from U)
+        yc = Y[c] / LU[c, c]
+        Y = Y.at[c].set(yc)
+        f = jnp.where((rows > c)[:, None], LU[c], 0.0)  # LU[c, r], r > c
+        Y = Y - f[:, None, :] * yc[None]
+    X = jnp.zeros_like(Y)
+    for c in range(n - 1, -1, -1):  # L^T x = y (unit diagonal)
+        xc = Y[c]
+        X = X.at[c].set(xc)
+        lrow = jnp.where((rows < c)[:, None], LU[c], 0.0)  # L[c, r], r < c
+        Y = Y - lrow[:, None, :] * xc[None]
+    return X
+
+
 def lu7_solve_T(LU: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """Solve (L U)^T x = rhs, i.e. U^T L^T x = rhs. rhs (n, k, B)."""
     n = LU.shape[0]
@@ -206,17 +279,17 @@ def block_thomas_factor(A, B, C):
     """
     def fwd(LU_prev, inp):
         Ai, Bi, Ci_prev = inp
-        mT = lu7_solve_T(LU_prev, jnp.swapaxes(Ai, 0, 1))
+        mT = _lu_sT(LU_prev, jnp.swapaxes(Ai, 0, 1))
         m = jnp.swapaxes(mT, 0, 1)
         Bp = Bi - _matmul_bl(m, Ci_prev)
-        LU = lu7_nopivot(Bp)
+        LU = _lu_f(Bp)
         return LU, (LU, m)
 
     # NOTE: a "concat-free" variant (full-length scan, identity LU carry +
     # C carried through the loop) was measured ~19% SLOWER end-to-end on
     # v5e than these two output concatenates — scanned inputs pipeline,
     # carried blocks serialize. Keep the concats.
-    LU0 = lu7_nopivot(B[0])
+    LU0 = _lu_f(B[0])
     _, (LUs, ms) = lax.scan(fwd, LU0, (A[1:], B[1:], C[:-1]),
                             unroll=_NX_UNROLL)
     LUs = jnp.concatenate([LU0[None], LUs], axis=0)
@@ -238,14 +311,14 @@ def block_thomas_factor_apply(A, B, C, rhs):
     def fwd(carry, inp):
         LU_prev, rp_prev = carry
         Ai, Bi, Ci_prev, ri = inp
-        mT = lu7_solve_T(LU_prev, jnp.swapaxes(Ai, 0, 1))
+        mT = _lu_sT(LU_prev, jnp.swapaxes(Ai, 0, 1))
         m = jnp.swapaxes(mT, 0, 1)
         Bp = Bi - _matmul_bl(m, Ci_prev)
-        LU = lu7_nopivot(Bp)
+        LU = _lu_f(Bp)
         rp = ri - _matvec_bl(m, rp_prev)
         return (LU, rp), (LU, m, rp)
 
-    LU0 = lu7_nopivot(B[0])
+    LU0 = _lu_f(B[0])
     rp0 = rhs[0]
     _, (LUs, ms, rps) = lax.scan(fwd, (LU0, rp0),
                                  (A[1:], B[1:], C[:-1], rhs[1:]),
@@ -254,11 +327,11 @@ def block_thomas_factor_apply(A, B, C, rhs):
     ms = jnp.concatenate([jnp.zeros_like(LU0)[None], ms], axis=0)
     rps = jnp.concatenate([rp0[None], rps], axis=0)
 
-    xn = lu7_solve(LUs[-1], rps[-1][:, None, :])[:, 0, :]
+    xn = _lu_s(LUs[-1], rps[-1][:, None, :])[:, 0, :]
 
     def bwd(x_next, inp):
         LU, rp, Ci = inp
-        x = lu7_solve(LU, (rp - _matvec_bl(Ci, x_next))[:, None, :])[:, 0, :]
+        x = _lu_s(LU, (rp - _matvec_bl(Ci, x_next))[:, None, :])[:, 0, :]
         return x, x
 
     _, xs = lax.scan(bwd, xn, (LUs[:-1], rps[:-1], C[:-1]),
@@ -292,11 +365,11 @@ def block_thomas_apply(LUs, ms, C, rhs):
     _, rps = lax.scan(fwd, wide(rp0), (ms[1:], rhs[1:]), unroll=_NX_UNROLL)
     rps = jnp.concatenate([rp0[None], rps], axis=0)
 
-    xn = lu7_solve(LUs[-1], rps[-1][:, None, :])[:, 0, :]
+    xn = _lu_s(LUs[-1], rps[-1][:, None, :])[:, 0, :]
 
     def bwd(x_next, inp):
         LU, rp, Ci = inp
-        x = lu7_solve(LU, (rp - _matvec_bl(Ci, x_next))[:, None, :]
+        x = _lu_s(LU, (rp - _matvec_bl(Ci, x_next))[:, None, :]
                       )[:, 0, :]
         return wide(x), x
 

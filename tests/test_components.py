@@ -157,3 +157,56 @@ def test_config_validation():
     with pytest.raises(ValueError):
         SMCConfig(resampling="bogus")
     SMCConfig()  # defaults valid
+
+
+def test_lu7_array_forms_match_loop_forms():
+    """The array-form block LU/solves (lu7_*_arr, the small-op-scheduling
+    experiment) must reproduce the unrolled loop forms: the factor is
+    arithmetic-identical (bitwise); substitutions differ only by fp
+    reassociation."""
+    import numpy as np
+    import jax.numpy as jnp
+    from smc_tpu.ops import dae_fast as df
+
+    rng = np.random.default_rng(0)
+    B = 64
+    A = rng.normal(size=(7, 7, B)).astype(np.float32)
+    A[np.arange(7), np.arange(7)] += 8.0  # diagonally dominant
+    rhs = rng.normal(size=(7, 3, B)).astype(np.float32)
+    A, rhs = jnp.asarray(A), jnp.asarray(rhs)
+
+    lu_loop = np.asarray(df.lu7_nopivot(A))
+    lu_arr = np.asarray(df.lu7_nopivot_arr(A))
+    np.testing.assert_array_equal(lu_arr, lu_loop)
+
+    x_loop = np.asarray(df.lu7_solve(jnp.asarray(lu_loop), rhs))
+    x_arr = np.asarray(df.lu7_solve_arr(jnp.asarray(lu_loop), rhs))
+    np.testing.assert_allclose(x_arr, x_loop, rtol=2e-5, atol=1e-6)
+
+    xt_loop = np.asarray(df.lu7_solve_T(jnp.asarray(lu_loop), rhs))
+    xt_arr = np.asarray(df.lu7_solve_T_arr(jnp.asarray(lu_loop), rhs))
+    np.testing.assert_allclose(xt_arr, xt_loop, rtol=2e-5, atol=1e-6)
+
+
+def test_lu_arr_flag_march_equivalence():
+    """The whole methanation likelihood with _LU_ARR on matches the default
+    path (same Newton fixed point; fp-reassociation differences only)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from smc_tpu.ops import dae_fast as df
+    from smc_tpu.models.methanation import MethanationModel
+
+    model = MethanationModel.default(n_conditions=2, nx=11, n_steps=6,
+                                     growth=1.6, particle_chunk=8)
+    theta = model.prior.sample(jax.random.key(5), 8)
+    ll_off, _ = jax.jit(model.log_likelihood)(theta)
+    df._LU_ARR = True
+    try:
+        ll_on, _ = jax.jit(model.log_likelihood)(theta)
+    finally:
+        df._LU_ARR = False
+    a, b = np.asarray(ll_on), np.asarray(ll_off)
+    fin = np.isfinite(b)
+    assert (np.isfinite(a) == fin).all()
+    np.testing.assert_allclose(a[fin], b[fin], rtol=1e-3, atol=0.5)
