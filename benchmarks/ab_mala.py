@@ -1,4 +1,4 @@
-"""A/B: RWM vs MALA mutation — mixing quality at matched cost.
+"""A/B: RWM vs MALA vs HMC mutation — mixing quality at matched cost.
 
 Run on the real chip:  python benchmarks/ab_mala.py
 
@@ -66,14 +66,19 @@ def run(model, mutation, n, seeds):
 
 
 def report(tag, model, true_mean, true_std, n=2048, seeds=(0, 1, 2, 3)):
-    for mut in ("rwm", "mala"):
+    # HMC evals already include the leapfrog multiplier
+    # (cfg.evals_per_sweep in the driver accounting), so the three rows
+    # share one cost unit: likelihood evaluations (each gradient kernel's
+    # eval additionally carries one VJP, ~2x on these closed-form targets).
+    for mut in ("rwm", "mala", "hmc"):
         evals, steps, means, stds = run(model, mut, n, seeds)
         me = np.abs(means - true_mean).mean()
         se = np.abs(stds / true_std - 1.0).mean()
         scatter = means.std(0).mean()
         print(f"{tag:14s} {mut:5s} evals={evals.mean():>12.0f} "
               f"steps={steps.mean():5.1f} |mean err|={me:.4f} "
-              f"std rel err={se:.4f} replica scatter={scatter:.4f}")
+              f"std rel err={se:.4f} replica scatter={scatter:.4f}",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -147,6 +147,57 @@ def main():
     print(f"decomposition: ~{c:.2f} B/particle N-scaling + "
           f"~{max(fixed, 0.0):,.0f} B fixed scalar reductions per step")
 
+    # ---- DAE (methanation) step: the flagship's collectives ------------
+    # The DAE march is entirely lane-local (each particle x condition lane
+    # solves its own reactor), so the sharded step's collectives should be
+    # exactly the SMC machinery's — scalar reductions + resampling — with
+    # nothing added by the likelihood. Verified here on a coarse grid (the
+    # collective structure is independent of nx / n_steps; XLA:CPU cannot
+    # compile the nx=51 unrolled march in reasonable time, CLAUDE.md).
+    from smc_tpu.models.methanation import MethanationModel
+    nd = 2048
+    dae = MethanationModel.default(n_conditions=4, nx=11, n_steps=6,
+                                   growth=1.6, particle_chunk=nd)
+    dcfg = SMCConfig(n_particles=nd, resampling="ring")
+    dst = init_state(jax.random.key(1), dae, dcfg)
+    dst = dst.replace(particles=jax.device_put(dst.particles, psh),
+                      log_lik=jax.device_put(dst.log_lik, psh))
+    dstep = make_smc_step(dae, dcfg, donate=False, psharding=psh)
+    cols_d = collect_collectives(dstep.lower(dst).compile().as_text())
+    by_op_d = {}
+    for op, b, _ in cols_d:
+        by_op_d.setdefault(op, []).append(b)
+    total_d = sum(b for _, b, _ in cols_d)
+    print(f"\n== methanation (DAE) step, N={nd}, resampling='ring' ==")
+    for op, sizes in sorted(by_op_d.items()):
+        print(f"  {op:20s} x{len(sizes):3d}   {sum(sizes):>12,d} B total")
+    print(f"  {'TOTAL':20s}        {total_d:>12,d} B "
+          f"({total_d / nd:.2f} B/particle; ppermute bytes per ring round)")
+
+    # ---- v5e-16 projection for the 1e6-particle north-star config ------
+    # Measured inputs: 1,530 particles/s/chip through the nx=51 DAE
+    # likelihood (benchmarks/bench_methanation.py); ~2.5 sweeps/step
+    # average on the flagship tempering path; ring-path traffic from the
+    # DAE section above scaled per-particle; v5e ICI ~1e11 B/s/chip,
+    # scalar-collective latency floor ~10 us.
+    chips, n_ns = 16, 1_000_000
+    shard = n_ns / chips
+    sweep_s = shard / 1530.0
+    step_compute = 2.5 * sweep_s
+    scalar_b = total_d  # fixed scalar reductions dominate the ring path
+    ring_round_b = 2 * shard * (5 + 2) * 4  # fwd+bwd block ppermute, d=5
+    t_coll = scalar_b / 1e11 + 10e-6 * len(cols_d) + ring_round_b / 1e11
+    print(f"\n== v5e-16 projection, N=1e6 methanation ==")
+    print(f"  per-chip shard {shard:,.0f} particles; per-step compute "
+          f"~{step_compute:.1f} s")
+    print(f"  per-step collectives: ~{scalar_b:,d} B scalar + "
+          f"<=1 ring round {ring_round_b:,.0f} B  ->  ~{t_coll * 1e3:.2f} ms")
+    print(f"  collective share of step time: "
+          f"{100 * t_coll / (step_compute + t_coll):.4f}%  "
+          f"(scaling efficiency ~{100 * step_compute / (step_compute + t_coll):.2f}%)")
+    print(f"  full posterior (~12 steps, ~30 sweeps): "
+          f"~{30 * sweep_s / 60:.0f} min on 16 chips")
+
 
 if __name__ == "__main__":
     main()

@@ -15,6 +15,7 @@ from smc_tpu.smc.driver import (init_state, make_smc_step, make_run_on_device,
 from smc_tpu.smc.kernels import (
     find_gamma,
     residual_systematic_resample,
+    hmc_mutation,
     mala_mutation,
     mh_mutation,
     mutate,

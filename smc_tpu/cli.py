@@ -37,11 +37,15 @@ def _add_common(p):
                    help="resampling scheme; 'ring' = residual-systematic "
                         "with O(N/S)-per-chip ring-exchange redistribution "
                         "on sharded runs (bitwise-identical results)")
-    p.add_argument("--mutation", default="rwm", choices=["rwm", "mala"],
+    p.add_argument("--mutation", default="rwm",
+                   choices=["rwm", "mala", "hmc"],
                    help="mutation kernel: the reference's adaptive RW-"
-                        "Metropolis, or preconditioned MALA (gradient "
-                        "drift through the differentiable simulator; not "
-                        "available with the opaque pallas likelihoods)")
+                        "Metropolis, preconditioned MALA, or precondi"
+                        "tioned HMC (gradient moves through the differen"
+                        "tiable simulator; not available with the opaque "
+                        "pallas likelihoods)")
+    p.add_argument("--hmc-leapfrog", type=int, default=5,
+                   help="leapfrog steps per HMC proposal")
     p.add_argument("--device-loop", action="store_true",
                    help="fuse the whole run into one XLA program "
                         "(no per-step artifacts)")
@@ -53,10 +57,11 @@ def _build_model(args):
     from smc_tpu.models.michaelis_menten import (
         MichaelisMentenModel, MM_TRUE_VMAX, MM_TRUE_KM, MM_TRUE_NOISE)
     if args.model == "mm":
-        if (getattr(args, "mutation", "rwm") == "mala"
+        if (getattr(args, "mutation", "rwm") in ("mala", "hmc")
                 and args.mm_method.startswith("pallas")):
-            raise SystemExit("--mutation mala needs a differentiable "
-                             "likelihood; use --mm-method exact/rk4/dopri5")
+            raise SystemExit(f"--mutation {args.mutation} needs a "
+                             "differentiable likelihood; use --mm-method "
+                             "exact/rk4/dopri5")
         m = MichaelisMentenModel.default(method=args.mm_method)
         return m, [MM_TRUE_VMAX, MM_TRUE_KM, MM_TRUE_NOISE]
     if args.model == "methanation":
@@ -115,7 +120,8 @@ def _cfg(args):
                      ess_limit=args.ess_limit,
                      resampling=getattr(args, "resampling",
                                         "residual_systematic"),
-                     mutation=getattr(args, "mutation", "rwm"))
+                     mutation=getattr(args, "mutation", "rwm"),
+                     hmc_leapfrog=getattr(args, "hmc_leapfrog", 5))
 
 
 def cmd_run(args):

@@ -67,7 +67,11 @@ class SMCConfig:
     # Metropolis (Micmem_SMC_main.py:186-251). "mala" = preconditioned
     # Metropolis-adjusted Langevin (gradient drift through the simulator —
     # requires a differentiable log_likelihood; see smc.kernels.mala_mutation).
+    # "hmc" = preconditioned Hamiltonian mutation (hmc_leapfrog gradient
+    # steps per proposal; see smc.kernels.hmc_mutation).
     mutation: str = "rwm"
+    # Leapfrog steps per HMC proposal (only used when mutation == "hmc").
+    hmc_leapfrog: int = 5
     dtype: Any = jnp.float32
 
     def __post_init__(self):
@@ -83,8 +87,17 @@ class SMCConfig:
                                    "systematic", "stratified",
                                    "multinomial"):
             raise ValueError(f"unknown resampling {self.resampling!r}")
-        if self.mutation not in ("rwm", "mala"):
+        if self.mutation not in ("rwm", "mala", "hmc"):
             raise ValueError(f"unknown mutation {self.mutation!r}")
+        if self.hmc_leapfrog < 1:
+            raise ValueError("hmc_leapfrog must be >= 1")
+
+    @property
+    def evals_per_sweep(self) -> int:
+        """Likelihood evaluations per mutation sweep (cost accounting):
+        RWM/MALA evaluate once per sweep; HMC evaluates once per leapfrog
+        step (gradients ride the same evaluations as VJPs)."""
+        return self.hmc_leapfrog if self.mutation == "hmc" else 1
 
     def cov_weight(self, d: int) -> jnp.ndarray:
         """Proposal-covariance elementwise weight matrix.

@@ -2,6 +2,7 @@ from smc_tpu.smc.state import SMCState
 from smc_tpu.smc.kernels import (
     find_gamma,
     residual_systematic_resample,
+    hmc_mutation,
     mala_mutation,
     mh_mutation,
     mutate,

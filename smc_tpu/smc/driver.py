@@ -132,7 +132,8 @@ def smc_step(state: SMCState, loglik_fn: LogLikFn, prior: Prior,
         n_mh=m.n_steps, accepted=m.accepted.astype(jnp.int32),
         n_gamma_reductions=g.n_reductions, mh_ratio=m.mh_ratio,
         total_lik_evals=state.total_lik_evals
-        + m.n_steps.astype(jnp.float32) * state.particles.shape[0],
+        + (m.n_steps.astype(jnp.float32) * cfg.evals_per_sweep
+           * state.particles.shape[0]),
         log_evidence=state.log_evidence + g.log_z_inc,
     )
 

@@ -699,9 +699,132 @@ def mala_mutation(key: jax.Array,
     return MutationResult(parts, lk1, j, jnp.sum(r_ac), ratio)
 
 
+# --------------------------------------------------------------------------
+# Preconditioned HMC mutation (gradient-based; beyond-reference capability)
+# --------------------------------------------------------------------------
+def hmc_mutation(key: jax.Array,
+                 particles: jnp.ndarray,
+                 log_lik: jnp.ndarray,
+                 gamma: jnp.ndarray,
+                 loglik_fn: Callable[[jnp.ndarray],
+                                     Tuple[jnp.ndarray, object]],
+                 prior: Prior,
+                 cfg: SMCConfig) -> MutationResult:
+    """Preconditioned Hamiltonian mutation sweeps (leapfrog proposals).
+
+    Same adaptive scaffolding as :func:`mh_mutation` / :func:`mala_mutation`
+    (per-sweep empirical-covariance preconditioner, accepted-at-least-once
+    early stop, step-ratio halving — the reference controller,
+    Micmem_SMC_main.py:186-251), but each proposal is ``cfg.hmc_leapfrog``
+    leapfrog steps of Hamiltonian dynamics, which can traverse curved
+    ridges a single Langevin drift (MALA) crosses only diffusively —
+    HMC-within-SMC per Buchholz, Chopin & Jacob (arXiv:1808.07730).
+
+    Runs in WHITENED coordinates w = L^{-1}(theta - mu) where
+    S = cov(particles) * cov_weight = L L^T, identity mass matrix in w:
+    position updates are ``theta += eps * (p @ L^T)`` and gradient kicks
+    ``p += eps_k * gamma * (g @ L)`` — Cholesky matmuls only, no triangular
+    inversion anywhere (CLAUDE.md large-batch LU hazard avoided by
+    construction).
+
+    The dynamics use the TEMPERED-LIKELIHOOD surrogate potential only
+    (uniform priors are flat in the interior, so the surrogate is exact
+    for the reference's prior modes); the acceptance applies the FULL
+    target ratio plus the kinetic-energy difference:
+
+        (lk2-lk1)*gamma + (lp2-lp1) - (|p_end|^2 - |p_0|^2)/2
+
+    which is exact for any volume-preserving reversible proposal map, so
+    the chain targets gamma*ll + log-prior for ANY prior. Out-of-support
+    or non-finite endpoints are rejected outright (the -inf/never-NaN
+    invariant holds; diverged rows cost mixing, never correctness).
+    Each sweep costs ``hmc_leapfrog`` likelihood+VJP evaluations
+    (cfg.evals_per_sweep feeds the driver's eval accounting).
+    """
+    n, d = particles.shape
+    final = gamma >= 1.0
+    n_mh = jnp.where(final, cfg.mh_steps_final,
+                     cfg.mh_steps).astype(jnp.int32)
+    r_th = jnp.where(final, cfg.accept_threshold_final, cfg.accept_threshold)
+    cov_weight = cfg.cov_weight(d).astype(particles.dtype)
+    n_leap = cfg.hmc_leapfrog
+
+    def ll_and_grad(th):
+        def s(t):
+            ll, _ = loglik_fn(t)
+            return jnp.sum(jnp.where(jnp.isfinite(ll), ll, 0.0)), ll
+        g, ll = jax.grad(s, has_aux=True)(th)
+        return ll, jnp.where(jnp.isfinite(g), g, 0.0)
+
+    log_prior_cur0 = prior.log_pdf(particles)
+    _, g0 = ll_and_grad(particles)
+
+    def cond(c):
+        j, key, parts, lk1, lp1, g1, r_ac, ratio, done = c
+        return (j < n_mh) & ~done
+
+    def body(c):
+        j, key, parts, lk1, lp1, g1, r_ac, ratio, done = c
+        key, k_z, k_u = jax.random.split(key, 3)
+
+        cov = _weighted_cov(parts, cov_weight)
+        chol = jnp.linalg.cholesky(cov)
+        eps = ratio
+
+        z = jax.random.normal(k_z, (n, d), dtype=parts.dtype)
+
+        # leapfrog: half kick, (n_leap-1) x (drift + full kick),
+        # drift + half kick. lax.scan body = one likelihood + one VJP.
+        p = z + 0.5 * eps * gamma * (g1 @ chol)
+
+        def leap(carry, k):
+            th, p, lk, g = carry
+            th = th + eps * (p @ chol.T)
+            lk, g = ll_and_grad(th)
+            kick = gamma * (g @ chol)
+            w = jnp.where(k < n_leap - 1, 1.0, 0.5).astype(parts.dtype)
+            p = p + w * eps * kick
+            return (th, p, lk, g), None
+
+        (prop, p_end, lk2, g2), _ = lax.scan(
+            leap, (parts, p, lk1, g1), jnp.arange(n_leap))
+
+        in_sup = prior.in_support(prop)
+        lp2 = prior.log_pdf(prop)
+
+        log_u = jnp.log(jax.random.uniform(k_u, (n,), dtype=parts.dtype))
+        log_acc = ((lk2 - lk1) * gamma + (lp2 - lp1)
+                   - 0.5 * (jnp.sum(p_end * p_end, axis=1)
+                            - jnp.sum(z * z, axis=1)))
+        accept = (in_sup & (log_acc >= log_u) & jnp.isfinite(lk2)
+                  & jnp.isfinite(prop).all(axis=1))
+
+        parts = jnp.where(accept[:, None], prop, parts)
+        lk1 = jnp.where(accept, lk2, lk1)
+        lp1 = jnp.where(accept, lp2, lp1)
+        g1 = jnp.where(accept[:, None], g2, g1)
+        r_ac = r_ac | accept
+
+        acc_sum = jnp.sum(r_ac)
+        done = acc_sum > r_th * n
+        ratio = jnp.where(~done & (acc_sum < cfg.accept_threshold_min * n),
+                          ratio * cfg.mh_ratio_decay, ratio)
+        return j + 1, key, parts, lk1, lp1, g1, r_ac, ratio, done
+
+    init = (jnp.zeros((), jnp.int32), key, particles, log_lik,
+            log_prior_cur0, g0, jnp.zeros((n,), bool),
+            jnp.ones((), particles.dtype), jnp.zeros((), bool))
+    j, _, parts, lk1, _, _, r_ac, ratio, _ = lax.while_loop(cond, body, init)
+    return MutationResult(parts, lk1, j, jnp.sum(r_ac), ratio)
+
+
+_MUTATION_KERNELS = {"rwm": mh_mutation, "mala": mala_mutation,
+                     "hmc": hmc_mutation}
+
+
 def mutate(key: jax.Array, particles: jnp.ndarray, log_lik: jnp.ndarray,
            gamma: jnp.ndarray, loglik_fn, prior: Prior,
            cfg: SMCConfig) -> MutationResult:
     """Dispatch to the configured mutation kernel (cfg.mutation)."""
-    fn = mala_mutation if cfg.mutation == "mala" else mh_mutation
-    return fn(key, particles, log_lik, gamma, loglik_fn, prior, cfg)
+    return _MUTATION_KERNELS[cfg.mutation](key, particles, log_lik, gamma,
+                                           loglik_fn, prior, cfg)
