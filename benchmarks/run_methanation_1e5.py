@@ -58,8 +58,12 @@ def main():
         json.dump({"wall_s": prev_wall + time.perf_counter() - t0},
                   open(WALL, "w"))
 
+    # granularity="sweep": the fused step at this N is a single 100-160 s
+    # XLA execution, which the tunnel's TPU worker does not survive
+    # (observed: >=5 consecutive worker crashes); one-sweep executions
+    # (~65 s) do. Same math, host-observed adaptive controller.
     st = run_smc(model, cfg, jax.random.key(0), verbose=True,
-                 state=state, callback=ckpt_cb)
+                 state=state, callback=ckpt_cb, granularity="sweep")
     wall = prev_wall + time.perf_counter() - t0
     p = np.asarray(st.particles)
     truth = np.asarray(list(KIN_TRUE) + [SIGMA_TRUE])[list(model.est_idx)]

@@ -11,9 +11,11 @@ from smc_tpu.config import SMCConfig
 from smc_tpu.priors import Prior
 from smc_tpu.smc.state import SMCState
 from smc_tpu.smc.driver import (init_state, make_smc_step, make_run_on_device,
-                                run_smc, run_smc_on_device)
+                                make_sweep_step_fns, run_smc,
+                                run_smc_on_device)
 from smc_tpu.smc.kernels import (
     find_gamma,
+    make_mutation_sweeper,
     residual_systematic_resample,
     hmc_mutation,
     mala_mutation,

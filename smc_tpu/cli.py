@@ -49,6 +49,14 @@ def _add_common(p):
     p.add_argument("--device-loop", action="store_true",
                    help="fuse the whole run into one XLA program "
                         "(no per-step artifacts)")
+    p.add_argument("--granularity", default="step",
+                   choices=["step", "sweep"],
+                   help="device-execution granularity: 'step' fuses all "
+                        "of a step's MH sweeps into one XLA execution "
+                        "(fastest); 'sweep' bounds each execution to one "
+                        "sweep (required at huge N on tunneled "
+                        "single-chip sessions, where multi-minute "
+                        "executions crash the TPU worker)")
     p.add_argument("--profile", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler device trace to LOGDIR")
 
@@ -157,7 +165,8 @@ def _run_inner(args, model, truth, cfg, key):
                                       psharding=psh)
         else:
             final = run_smc(model, cfg, key, state=state, psharding=psh,
-                            verbose=not args.quiet)
+                            verbose=not args.quiet,
+                            granularity=args.granularity)
         p = np.asarray(final.particles)
         rd = RunDir(root=args.outdir, tag=args.model)
         from smc_tpu.io.csvio import save_posterior_csv
@@ -167,7 +176,8 @@ def _run_inner(args, model, truth, cfg, key):
         final, rd = run_with_artifacts(
             model, cfg, key, rundir=RunDir(root=args.outdir, tag=args.model),
             true_values=truth, plots_enabled=not args.no_plots,
-            verbose=not args.quiet)
+            verbose=not args.quiet,
+            granularity=getattr(args, "granularity", "step"))
         p = np.asarray(final.particles)
 
     print(f"gamma: {float(final.gamma)}  steps: {int(final.step)}  "
@@ -193,7 +203,8 @@ def cmd_resume(args):
         model, cfg, jax.random.key(args.seed),
         rundir=RunDir(root=args.outdir, tag=f"{args.model}_resume"),
         true_values=truth, resume_from=args.checkpoint,
-        plots_enabled=not args.no_plots, verbose=not args.quiet, mesh=mesh)
+        plots_enabled=not args.no_plots, verbose=not args.quiet, mesh=mesh,
+        granularity=getattr(args, "granularity", "step"))
     print(f"gamma: {float(final.gamma)}  steps: {int(final.step)}")
     print(f"artifacts: {rd.path}")
     return 0

@@ -139,12 +139,16 @@ def run_with_artifacts(model, cfg: SMCConfig, key,
                        resume_from: Optional[str] = None,
                        plots_enabled: bool = True,
                        verbose: bool = True,
-                       mesh=None):
+                       mesh=None,
+                       granularity: str = "step"):
     """Full orchestrated run; returns (final_state, rundir).
 
     ``mesh``: optional jax.sharding.Mesh — the particle axis is sharded over
     it, including on resume (a loaded checkpoint is re-sharded before the
     run continues).
+
+    ``granularity``: forwarded to :func:`run_smc` — "sweep" bounds each
+    device execution to one mutation sweep (huge-N tunnel survival).
 
     On a multi-host pod only the primary host (jax.process_index()==0) owns
     artifact IO: non-primary processes run the same SPMD compute but create
@@ -176,7 +180,8 @@ def run_with_artifacts(model, cfg: SMCConfig, key,
         if mgr is not None:
             mgr.on_init(state)
         state = run_smc(model, cfg, key, callback=mgr, state=state,
-                        verbose=verbose and primary, psharding=psharding)
+                        verbose=verbose and primary, psharding=psharding,
+                        granularity=granularity)
         if verbose and primary:
             print(f"end_time:{time.perf_counter() - t0}")
         if mgr is not None:

@@ -1,6 +1,7 @@
 from smc_tpu.smc.state import SMCState
 from smc_tpu.smc.kernels import (
     find_gamma,
+    make_mutation_sweeper,
     residual_systematic_resample,
     hmc_mutation,
     mala_mutation,

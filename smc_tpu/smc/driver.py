@@ -86,22 +86,18 @@ def init_state(key: jax.Array, model, cfg: SMCConfig,
     )
 
 
-def smc_step(state: SMCState, loglik_fn: LogLikFn, prior: Prior,
-             cfg: SMCConfig, psharding=None) -> SMCState:
-    """One likelihood-tempered SMC step (Algorithm 1 body).
-
-    ``psharding``: optional NamedSharding for particle-axis arrays. XLA's
-    propagation tends to replicate the post-resampling gather output; pinning
-    it keeps per-device memory at N/n_shards (required for 10^6+ particles).
-    """
-    key, k_res, k_mh = jax.random.split(state.key, 3)
-
+def _pinner(psharding):
     def pin(x):
         if psharding is None:
             return x
         return jax.lax.with_sharding_constraint(x, psharding)
+    return pin
 
-    g = find_gamma(state.log_lik, state.gamma, cfg)
+
+def _resample(k_res, g, state: SMCState, cfg: SMCConfig, psharding):
+    """Weight-proportional particle selection (shared by both step
+    granularities). Returns pinned (particles, log_lik)."""
+    pin = _pinner(psharding)
     if cfg.resampling == "ring" and psharding is not None:
         # Scale-out path: ring-exchange redistribution, O(N/S) traffic and
         # memory per chip (parallel/resample_shmap.resample_sharded_ring);
@@ -110,22 +106,25 @@ def smc_step(state: SMCState, loglik_fn: LogLikFn, prior: Prior,
         parts, lk = resample_sharded_ring(
             k_res, g.weights, state.particles, state.log_lik,
             psharding.mesh)
-        parts, lk = pin(parts), pin(lk)
-    elif cfg.resampling in ("residual_systematic", "ring"):
+        return pin(parts), pin(lk)
+    if cfg.resampling in ("residual_systematic", "ring"):
         # Gather-free path: sorted ancestors let the particle/log-lik copy
         # run as scatter + batched prefix sum (bitwise-equal to the gather;
         # kernels.residual_systematic_apply).
         parts, lk = residual_systematic_apply(
             k_res, g.weights, (state.particles, state.log_lik))
-        parts, lk = pin(parts), pin(lk)
-    else:
-        ancestors = residual_systematic_resample(k_res, g.weights,
-                                                 scheme=cfg.resampling)
-        parts = pin(jnp.take(state.particles, ancestors, axis=0))
-        lk = pin(jnp.take(state.log_lik, ancestors, axis=0))
+        return pin(parts), pin(lk)
+    ancestors = residual_systematic_resample(k_res, g.weights,
+                                             scheme=cfg.resampling)
+    return (pin(jnp.take(state.particles, ancestors, axis=0)),
+            pin(jnp.take(state.log_lik, ancestors, axis=0)))
 
-    m = mutate(k_mh, parts, lk, g.gamma, loglik_fn, prior, cfg)
 
+def _advance(state: SMCState, key, g, m, cfg: SMCConfig,
+             psharding) -> SMCState:
+    """Fold a completed step's gamma + mutation results into the state
+    (shared by both step granularities)."""
+    pin = _pinner(psharding)
     return state.replace(
         particles=pin(m.particles), log_lik=pin(m.log_lik), gamma=g.gamma,
         key=key, step=state.step + 1, ess=g.ess, max_log_lik=g.max_log_lik,
@@ -136,6 +135,78 @@ def smc_step(state: SMCState, loglik_fn: LogLikFn, prior: Prior,
            * state.particles.shape[0]),
         log_evidence=state.log_evidence + g.log_z_inc,
     )
+
+
+def smc_step(state: SMCState, loglik_fn: LogLikFn, prior: Prior,
+             cfg: SMCConfig, psharding=None) -> SMCState:
+    """One likelihood-tempered SMC step (Algorithm 1 body).
+
+    ``psharding``: optional NamedSharding for particle-axis arrays. XLA's
+    propagation tends to replicate the post-resampling gather output; pinning
+    it keeps per-device memory at N/n_shards (required for 10^6+ particles).
+    """
+    key, k_res, k_mh = jax.random.split(state.key, 3)
+    g = find_gamma(state.log_lik, state.gamma, cfg)
+    parts, lk = _resample(k_res, g, state, cfg, psharding)
+    m = mutate(k_mh, parts, lk, g.gamma, loglik_fn, prior, cfg)
+    return _advance(state, key, g, m, cfg, psharding)
+
+
+def make_sweep_step_fns(model, cfg: SMCConfig, psharding=None):
+    """Sweep-granularity step: four jitted pieces, each device execution
+    bounded by at most ``cfg.evals_per_sweep`` likelihood evaluations.
+
+    The fused :func:`make_smc_step` program runs ALL of a step's adaptive
+    MH sweeps inside one ``lax.while_loop`` — one XLA execution of
+    (sweeps x likelihood) duration. At huge N on the single-chip tunnel
+    that single execution exceeds the worker's survivable duration
+    (~100 s; a 65 s likelihood sweep at N=1e5 survives, the 2-5-sweep
+    fused step does not — docs/PERF.md "Execution-duration limit").
+    This splits the step at its natural host-observable seams:
+
+    - ``prep(state) -> (key, k_mh, g, parts, lk)``: gamma search +
+      resampling. Zero likelihood evals.
+    - ``mut_init(k_mh, parts, lk) -> MutationCarry``: mutation-loop init
+      (one forward+VJP for mala/hmc, free for rwm).
+    - ``mut_sweep(carry, gamma) -> MutationCarry``: ONE adaptive sweep —
+      the same traced body the fused kernel while_loops over
+      (kernels.make_mutation_sweeper), so both granularities run
+      identical math with identical PRNG streams.
+    - ``finish(state, key, g, carry) -> SMCState``: fold results.
+
+    The adaptive controller decisions (early stop, sweep count) live in
+    the carry (``carry.done``/``carry.j``) exactly as in the fused loop;
+    the host merely reads them back between executions.
+    """
+    from smc_tpu.smc.kernels import MutationResult, make_mutation_sweeper
+    init_fn, sweep_fn = make_mutation_sweeper(
+        cfg.mutation, model.log_likelihood, model.prior, cfg)
+
+    @jax.jit
+    def prep(state: SMCState):
+        key, k_res, k_mh = jax.random.split(state.key, 3)
+        g = find_gamma(state.log_lik, state.gamma, cfg)
+        parts, lk = _resample(k_res, g, state, cfg, psharding)
+        return key, k_mh, g, parts, lk
+
+    @jax.jit
+    def finish(state: SMCState, key, g, c) -> SMCState:
+        m = MutationResult(c.particles, c.log_lik, c.j, jnp.sum(c.r_ac),
+                           c.mh_ratio)
+        return _advance(state, key, g, m, cfg, psharding)
+
+    return prep, jax.jit(init_fn), jax.jit(sweep_fn), finish
+
+
+def _run_step_by_sweeps(state: SMCState, cfg: SMCConfig, fns) -> SMCState:
+    """One SMC step as a host loop over bounded device executions."""
+    prep, mut_init, mut_sweep, finish = fns
+    key, k_mh, g, parts, lk = prep(state)
+    n_mh = cfg.mh_steps_final if float(g.gamma) >= 1.0 else cfg.mh_steps
+    c = mut_init(k_mh, parts, lk)
+    while int(c.j) < n_mh and not bool(c.done):
+        c = mut_sweep(c, g.gamma)
+    return finish(state, key, g, c)
 
 
 def make_smc_step(model, cfg: SMCConfig, donate: bool = True, psharding=None):
@@ -149,14 +220,28 @@ def make_smc_step(model, cfg: SMCConfig, donate: bool = True, psharding=None):
 def run_smc(model, cfg: SMCConfig, key: jax.Array,
             callback: Optional[Callable[[SMCState], None]] = None,
             state: Optional[SMCState] = None,
-            verbose: bool = True, psharding=None) -> SMCState:
+            verbose: bool = True, psharding=None,
+            granularity: str = "step") -> SMCState:
     """Host-observable SMC run: jitted steps, per-step metric line.
 
     ``state`` may be a checkpointed state to resume from.
+
+    ``granularity``: ``"step"`` jits one fused program per SMC step (all
+    adaptive MH sweeps in one lax.while_loop — fastest); ``"sweep"``
+    bounds every device execution to at most one mutation sweep
+    (make_sweep_step_fns) — required on the single-chip tunnel at huge N,
+    where a multi-minute fused execution crashes the TPU worker.
     """
+    if granularity not in ("step", "sweep"):
+        raise ValueError(f"unknown granularity {granularity!r}")
     if state is None:
         state = init_state(key, model, cfg)
-    step_fn = make_smc_step(model, cfg, donate=False, psharding=psharding)
+    if granularity == "sweep":
+        sweep_fns = make_sweep_step_fns(model, cfg, psharding=psharding)
+        step_fn = lambda s: _run_step_by_sweeps(s, cfg, sweep_fns)  # noqa: E731
+    else:
+        step_fn = make_smc_step(model, cfg, donate=False,
+                                psharding=psharding)
     t0 = time.perf_counter()
     while int(state.step) < cfg.max_steps and float(state.gamma) < 1.0:
         state = step_fn(state)

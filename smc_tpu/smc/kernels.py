@@ -494,6 +494,240 @@ def _weighted_cov(x: jnp.ndarray, cov_weight: jnp.ndarray,
     return cov + jitter * jnp.eye(d, dtype=cov.dtype)
 
 
+class MutationCarry(NamedTuple):
+    """Cross-sweep state of an adaptive mutation loop.
+
+    One structure serves both execution granularities: the fused kernels
+    (:func:`mh_mutation` & co.) thread it through a ``lax.while_loop``,
+    and the driver's sweep-granularity mode (``run_smc(granularity=
+    "sweep")``) threads it through one bounded device execution per sweep
+    — same traced sweep body either way (:func:`make_mutation_sweeper`).
+    """
+    j: jnp.ndarray          # () int32 sweeps executed so far
+    key: jax.Array          # PRNG key (split per sweep)
+    particles: jnp.ndarray  # (N, d) current particles
+    log_lik: jnp.ndarray    # (N,) their log-likelihoods
+    log_prior: jnp.ndarray  # (N,) their log prior densities
+    grad: jnp.ndarray       # (N, d) likelihood gradients (scalar 0 for rwm)
+    r_ac: jnp.ndarray       # (N,) bool accepted-at-least-once
+    mh_ratio: jnp.ndarray   # () proposal step ratio (halved when stalled)
+    done: jnp.ndarray       # () bool early-stop latch
+
+
+def _make_ll_and_grad(loglik_fn):
+    """Per-particle value+gradient of the log-likelihood via ONE VJP.
+
+    Rows are independent, so grad of the per-row sum is every particle's
+    own gradient. -inf rows get a zero cotangent and non-finite gradients
+    are sanitized to 0: diverged trajectories fall back to gradient-free
+    proposals and stay subject to the exact accept test (failures cost
+    mixing, never correctness — the -inf/never-NaN invariant holds).
+    """
+    def ll_and_grad(th):
+        def s(t):
+            ll, _ = loglik_fn(t)
+            return jnp.sum(jnp.where(jnp.isfinite(ll), ll, 0.0)), ll
+        g, ll = jax.grad(s, has_aux=True)(th)
+        return ll, jnp.where(jnp.isfinite(g), g, 0.0)
+    return ll_and_grad
+
+
+def make_mutation_sweeper(kind: str, loglik_fn, prior: Prior,
+                          cfg: SMCConfig):
+    """Build ``(init_fn, sweep_fn)`` for one adaptive mutation sweep.
+
+    - ``init_fn(key, particles, log_lik) -> MutationCarry`` — costs zero
+      likelihood evaluations for ``"rwm"``, one forward+VJP for
+      ``"mala"``/``"hmc"`` (the initial gradient).
+    - ``sweep_fn(carry, gamma) -> MutationCarry`` — ONE sweep: proposal,
+      ``cfg.evals_per_sweep`` likelihood evaluation(s), accept/update,
+      early-stop/step-halving bookkeeping. ``gamma`` is a traced operand
+      so one compiled sweep serves every tempering step.
+
+    The fused kernels run ``sweep_fn`` under ``lax.while_loop``
+    (:func:`_run_sweeps`); the driver's sweep-granularity mode jits it
+    standalone so no single device execution exceeds one sweep — the
+    bounded-execution requirement of the single-chip tunnel at huge N
+    (a >~100 s execution kills the TPU worker; docs/PERF.md).
+    """
+    ll_and_grad = _make_ll_and_grad(loglik_fn)
+    grad_based = kind in ("mala", "hmc")
+
+    def init_fn(key, particles, log_lik):
+        n = particles.shape[0]
+        if grad_based:
+            _, g0 = ll_and_grad(particles)
+        else:
+            g0 = jnp.zeros((), particles.dtype)
+        return MutationCarry(
+            j=jnp.zeros((), jnp.int32), key=key, particles=particles,
+            log_lik=log_lik, log_prior=prior.log_pdf(particles), grad=g0,
+            r_ac=jnp.zeros((n,), bool),
+            mh_ratio=jnp.ones((), particles.dtype),
+            done=jnp.zeros((), bool))
+
+    def _admin(c, key, parts, lk1, lp1, g1, accept, gamma):
+        """Shared post-proposal bookkeeping: accepted-at-least-once set,
+        early stop past the gamma-dependent threshold, step-ratio halving
+        below the floor (Micmem_SMC_main.py:236-251)."""
+        n = parts.shape[0]
+        r_th = jnp.where(gamma >= 1.0, cfg.accept_threshold_final,
+                         cfg.accept_threshold)
+        r_ac = c.r_ac | accept
+        acc_sum = jnp.sum(r_ac)
+        done = acc_sum > r_th * n
+        ratio = jnp.where(~done & (acc_sum < cfg.accept_threshold_min * n),
+                          c.mh_ratio * cfg.mh_ratio_decay, c.mh_ratio)
+        return MutationCarry(c.j + 1, key, parts, lk1, lp1, g1, r_ac,
+                             ratio, done)
+
+    if kind == "rwm":
+        def sweep_fn(c, gamma):
+            n, d = c.particles.shape
+            cov_weight = cfg.cov_weight(d).astype(c.particles.dtype)
+            key, k_z, k_u = jax.random.split(c.key, 3)
+            parts, lk1, lp1, ratio = (c.particles, c.log_lik, c.log_prior,
+                                      c.mh_ratio)
+
+            cov = _weighted_cov(parts, cov_weight)
+            chol = jnp.linalg.cholesky(cov)
+            z = jax.random.normal(k_z, (n, d), dtype=parts.dtype)
+            prop = parts + (z @ chol.T) * ratio
+
+            in_sup = prior.in_support(prop)
+            # Evaluate the clipped proposal (reference evaluates the
+            # replaced particle too; replaced rows are a numerical no-op
+            # but keep shapes static).
+            prop_eval = jnp.where(in_sup[:, None], prop, parts)
+            lk2, _ = loglik_fn(prop_eval)
+            lp2 = prior.log_pdf(prop_eval)
+
+            log_u = jnp.log(jax.random.uniform(k_u, (n,),
+                                               dtype=parts.dtype))
+            log_acc = (lk2 - lk1) * gamma + (lp2 - lp1)
+            accept = in_sup & (log_acc >= log_u) & jnp.isfinite(lk2)
+
+            parts = jnp.where(accept[:, None], prop_eval, parts)
+            lk1 = jnp.where(accept, lk2, lk1)
+            lp1 = jnp.where(accept, lp2, lp1)
+            return _admin(c, key, parts, lk1, lp1, c.grad, accept, gamma)
+
+    elif kind == "mala":
+        def sweep_fn(c, gamma):
+            n, d = c.particles.shape
+            cov_weight = cfg.cov_weight(d).astype(c.particles.dtype)
+            key, k_z, k_u = jax.random.split(c.key, 3)
+            parts, lk1, lp1, g1, ratio = (c.particles, c.log_lik,
+                                          c.log_prior, c.grad, c.mh_ratio)
+
+            cov = _weighted_cov(parts, cov_weight)
+            chol = jnp.linalg.cholesky(cov)
+            # L^{-1} once per sweep on the tiny (d,d); the per-particle
+            # solve is then a plain (d,d)@(d,N) matmul (no large-batch LU
+            # custom call — see CLAUDE.md hazard).
+            linv = jax.scipy.linalg.solve_triangular(
+                chol, jnp.eye(d, dtype=parts.dtype), lower=True)
+            half_e2 = 0.5 * ratio * ratio * gamma
+            z = jax.random.normal(k_z, (n, d), dtype=parts.dtype)
+            prop = parts + half_e2 * (g1 @ cov) + (z @ chol.T) * ratio
+
+            in_sup = prior.in_support(prop)
+            prop_eval = jnp.where(in_sup[:, None], prop, parts)
+            lk2, g2 = ll_and_grad(prop_eval)
+            lp2 = prior.log_pdf(prop_eval)
+
+            # reverse-move residual and its whitened norm
+            u = parts - prop_eval - half_e2 * (g2 @ cov)
+            v = linv @ u.T                              # (d, N)
+            log_q_rev = -0.5 * jnp.sum(v * v, axis=0) / (ratio * ratio)
+            log_q_fwd = -0.5 * jnp.sum(z * z, axis=1)
+
+            log_u = jnp.log(jax.random.uniform(k_u, (n,),
+                                               dtype=parts.dtype))
+            log_acc = ((lk2 - lk1) * gamma + (lp2 - lp1)
+                       + log_q_rev - log_q_fwd)
+            accept = in_sup & (log_acc >= log_u) & jnp.isfinite(lk2)
+
+            parts = jnp.where(accept[:, None], prop_eval, parts)
+            lk1 = jnp.where(accept, lk2, lk1)
+            lp1 = jnp.where(accept, lp2, lp1)
+            g1 = jnp.where(accept[:, None], g2, g1)
+            return _admin(c, key, parts, lk1, lp1, g1, accept, gamma)
+
+    elif kind == "hmc":
+        n_leap = cfg.hmc_leapfrog
+
+        def sweep_fn(c, gamma):
+            n, d = c.particles.shape
+            cov_weight = cfg.cov_weight(d).astype(c.particles.dtype)
+            key, k_z, k_u = jax.random.split(c.key, 3)
+            parts, lk1, lp1, g1, eps = (c.particles, c.log_lik,
+                                        c.log_prior, c.grad, c.mh_ratio)
+
+            cov = _weighted_cov(parts, cov_weight)
+            chol = jnp.linalg.cholesky(cov)
+            z = jax.random.normal(k_z, (n, d), dtype=parts.dtype)
+
+            # leapfrog: half kick, (n_leap-1) x (drift + full kick),
+            # drift + half kick. lax.scan body = one likelihood + one VJP.
+            p = z + 0.5 * eps * gamma * (g1 @ chol)
+
+            def leap(carry, k):
+                th, p, lk, g = carry
+                th = th + eps * (p @ chol.T)
+                lk, g = ll_and_grad(th)
+                kick = gamma * (g @ chol)
+                w = jnp.where(k < n_leap - 1, 1.0, 0.5).astype(parts.dtype)
+                p = p + w * eps * kick
+                return (th, p, lk, g), None
+
+            (prop, p_end, lk2, g2), _ = lax.scan(
+                leap, (parts, p, lk1, g1), jnp.arange(n_leap))
+
+            in_sup = prior.in_support(prop)
+            lp2 = prior.log_pdf(prop)
+
+            log_u = jnp.log(jax.random.uniform(k_u, (n,),
+                                               dtype=parts.dtype))
+            log_acc = ((lk2 - lk1) * gamma + (lp2 - lp1)
+                       - 0.5 * (jnp.sum(p_end * p_end, axis=1)
+                                - jnp.sum(z * z, axis=1)))
+            accept = (in_sup & (log_acc >= log_u) & jnp.isfinite(lk2)
+                      & jnp.isfinite(prop).all(axis=1))
+
+            parts = jnp.where(accept[:, None], prop, parts)
+            lk1 = jnp.where(accept, lk2, lk1)
+            lp1 = jnp.where(accept, lp2, lp1)
+            g1 = jnp.where(accept[:, None], g2, g1)
+            return _admin(c, key, parts, lk1, lp1, g1, accept, gamma)
+
+    else:
+        raise ValueError(f"unknown mutation kind {kind!r}")
+
+    return init_fn, sweep_fn
+
+
+def _run_sweeps(kind: str, key, particles, log_lik, gamma, loglik_fn,
+                prior: Prior, cfg: SMCConfig) -> MutationResult:
+    """Fused adaptive sweep loop: ONE lax.while_loop with a data-dependent
+    bound (nMH and the early-stop threshold switch at gamma == 1,
+    5 -> 20 and 0.5 -> 0.7 by default — both traced)."""
+    init_fn, sweep_fn = make_mutation_sweeper(kind, loglik_fn, prior, cfg)
+    final = gamma >= 1.0
+    n_mh = jnp.where(final, cfg.mh_steps_final,
+                     cfg.mh_steps).astype(jnp.int32)
+
+    def cond(c):
+        return (c.j < n_mh) & ~c.done
+
+    def body(c):
+        return sweep_fn(c, gamma)
+
+    c = lax.while_loop(cond, body, init_fn(key, particles, log_lik))
+    return MutationResult(c.particles, c.log_lik, c.j, jnp.sum(c.r_ac),
+                          c.mh_ratio)
+
+
 def mh_mutation(key: jax.Array,
                 particles: jnp.ndarray,
                 log_lik: jnp.ndarray,
@@ -527,54 +761,8 @@ def mh_mutation(key: jax.Array,
     (nMH 5 -> 20, r_th 0.5 -> 0.7); both are traced values so the whole loop
     is one lax.while_loop with a data-dependent bound.
     """
-    n, d = particles.shape
-    final = gamma >= 1.0
-    n_mh = jnp.where(final, cfg.mh_steps_final, cfg.mh_steps).astype(jnp.int32)
-    r_th = jnp.where(final, cfg.accept_threshold_final, cfg.accept_threshold)
-    cov_weight = cfg.cov_weight(d).astype(particles.dtype)
-    log_prior_cur0 = prior.log_pdf(particles)
-
-    def cond(c):
-        j, key, parts, lk1, lp1, r_ac, ratio, done = c
-        return (j < n_mh) & ~done
-
-    def body(c):
-        j, key, parts, lk1, lp1, r_ac, ratio, done = c
-        key, k_z, k_u = jax.random.split(key, 3)
-
-        cov = _weighted_cov(parts, cov_weight)
-        chol = jnp.linalg.cholesky(cov)
-        z = jax.random.normal(k_z, (n, d), dtype=parts.dtype)
-        prop = parts + (z @ chol.T) * ratio
-
-        in_sup = prior.in_support(prop)
-        # Evaluate the clipped proposal (reference evaluates the replaced
-        # particle too; likelihood is cached so the replaced rows are a no-op
-        # numerically but keep shapes static).
-        prop_eval = jnp.where(in_sup[:, None], prop, parts)
-        lk2, _ = loglik_fn(prop_eval)
-        lp2 = prior.log_pdf(prop_eval)
-
-        log_u = jnp.log(jax.random.uniform(k_u, (n,), dtype=parts.dtype))
-        log_acc = (lk2 - lk1) * gamma + (lp2 - lp1)
-        accept = in_sup & (log_acc >= log_u) & jnp.isfinite(lk2)
-
-        parts = jnp.where(accept[:, None], prop_eval, parts)
-        lk1 = jnp.where(accept, lk2, lk1)
-        lp1 = jnp.where(accept, lp2, lp1)
-        r_ac = r_ac | accept
-
-        acc_sum = jnp.sum(r_ac)
-        done = acc_sum > r_th * n
-        ratio = jnp.where(~done & (acc_sum < cfg.accept_threshold_min * n),
-                          ratio * cfg.mh_ratio_decay, ratio)
-        return j + 1, key, parts, lk1, lp1, r_ac, ratio, done
-
-    init = (jnp.zeros((), jnp.int32), key, particles, log_lik, log_prior_cur0,
-            jnp.zeros((n,), bool), jnp.ones((), particles.dtype),
-            jnp.zeros((), bool))
-    j, _, parts, lk1, _, r_ac, ratio, _ = lax.while_loop(cond, body, init)
-    return MutationResult(parts, lk1, j, jnp.sum(r_ac), ratio)
+    return _run_sweeps("rwm", key, particles, log_lik, gamma, loglik_fn,
+                       prior, cfg)
 
 
 # --------------------------------------------------------------------------
@@ -626,77 +814,8 @@ def mala_mutation(key: jax.Array,
     VJP in addition to the forward sweep (~3x an RWM sweep) and buys
     O(d)-better mixing on smooth targets.
     """
-    n, d = particles.shape
-    final = gamma >= 1.0
-    n_mh = jnp.where(final, cfg.mh_steps_final,
-                     cfg.mh_steps).astype(jnp.int32)
-    r_th = jnp.where(final, cfg.accept_threshold_final, cfg.accept_threshold)
-    cov_weight = cfg.cov_weight(d).astype(particles.dtype)
-
-    def ll_and_grad(th):
-        def s(t):
-            ll, _ = loglik_fn(t)
-            # zero cotangent on -inf rows; the per-row sum makes the single
-            # VJP yield every particle's own gradient (rows are independent)
-            return jnp.sum(jnp.where(jnp.isfinite(ll), ll, 0.0)), ll
-        g, ll = jax.grad(s, has_aux=True)(th)
-        return ll, jnp.where(jnp.isfinite(g), g, 0.0)
-
-    log_prior_cur0 = prior.log_pdf(particles)
-    _, g0 = ll_and_grad(particles)
-
-    def cond(c):
-        j, key, parts, lk1, lp1, g1, r_ac, ratio, done = c
-        return (j < n_mh) & ~done
-
-    def body(c):
-        j, key, parts, lk1, lp1, g1, r_ac, ratio, done = c
-        key, k_z, k_u = jax.random.split(key, 3)
-
-        cov = _weighted_cov(parts, cov_weight)
-        chol = jnp.linalg.cholesky(cov)
-        # L^{-1} once per sweep on the tiny (d,d); the per-particle solve is
-        # then a plain (d,d)@(d,N) matmul (no large-batch LU custom call —
-        # see CLAUDE.md hazard).
-        linv = jax.scipy.linalg.solve_triangular(
-            chol, jnp.eye(d, dtype=parts.dtype), lower=True)
-        half_e2 = 0.5 * ratio * ratio * gamma
-        z = jax.random.normal(k_z, (n, d), dtype=parts.dtype)
-        prop = parts + half_e2 * (g1 @ cov) + (z @ chol.T) * ratio
-
-        in_sup = prior.in_support(prop)
-        prop_eval = jnp.where(in_sup[:, None], prop, parts)
-        lk2, g2 = ll_and_grad(prop_eval)
-        lp2 = prior.log_pdf(prop_eval)
-
-        # reverse-move residual and its whitened norm
-        u = parts - prop_eval - half_e2 * (g2 @ cov)
-        v = linv @ u.T                                  # (d, N)
-        log_q_rev = -0.5 * jnp.sum(v * v, axis=0) / (ratio * ratio)
-        log_q_fwd = -0.5 * jnp.sum(z * z, axis=1)
-
-        log_u = jnp.log(jax.random.uniform(k_u, (n,), dtype=parts.dtype))
-        log_acc = ((lk2 - lk1) * gamma + (lp2 - lp1)
-                   + log_q_rev - log_q_fwd)
-        accept = in_sup & (log_acc >= log_u) & jnp.isfinite(lk2)
-
-        parts = jnp.where(accept[:, None], prop_eval, parts)
-        lk1 = jnp.where(accept, lk2, lk1)
-        lp1 = jnp.where(accept, lp2, lp1)
-        g1 = jnp.where(accept[:, None], g2, g1)
-        r_ac = r_ac | accept
-
-        acc_sum = jnp.sum(r_ac)
-        done = acc_sum > r_th * n
-        ratio = jnp.where(~done & (acc_sum < cfg.accept_threshold_min * n),
-                          ratio * cfg.mh_ratio_decay, ratio)
-        return j + 1, key, parts, lk1, lp1, g1, r_ac, ratio, done
-
-    init = (jnp.zeros((), jnp.int32), key, particles, log_lik,
-            log_prior_cur0, g0, jnp.zeros((n,), bool),
-            jnp.ones((), particles.dtype), jnp.zeros((), bool))
-    j, _, parts, lk1, _, _, r_ac, ratio, _ = lax.while_loop(cond, body, init)
-    return MutationResult(parts, lk1, j, jnp.sum(r_ac), ratio)
+    return _run_sweeps("mala", key, particles, log_lik, gamma, loglik_fn,
+                       prior, cfg)
 
 
 # --------------------------------------------------------------------------
@@ -741,81 +860,8 @@ def hmc_mutation(key: jax.Array,
     Each sweep costs ``hmc_leapfrog`` likelihood+VJP evaluations
     (cfg.evals_per_sweep feeds the driver's eval accounting).
     """
-    n, d = particles.shape
-    final = gamma >= 1.0
-    n_mh = jnp.where(final, cfg.mh_steps_final,
-                     cfg.mh_steps).astype(jnp.int32)
-    r_th = jnp.where(final, cfg.accept_threshold_final, cfg.accept_threshold)
-    cov_weight = cfg.cov_weight(d).astype(particles.dtype)
-    n_leap = cfg.hmc_leapfrog
-
-    def ll_and_grad(th):
-        def s(t):
-            ll, _ = loglik_fn(t)
-            return jnp.sum(jnp.where(jnp.isfinite(ll), ll, 0.0)), ll
-        g, ll = jax.grad(s, has_aux=True)(th)
-        return ll, jnp.where(jnp.isfinite(g), g, 0.0)
-
-    log_prior_cur0 = prior.log_pdf(particles)
-    _, g0 = ll_and_grad(particles)
-
-    def cond(c):
-        j, key, parts, lk1, lp1, g1, r_ac, ratio, done = c
-        return (j < n_mh) & ~done
-
-    def body(c):
-        j, key, parts, lk1, lp1, g1, r_ac, ratio, done = c
-        key, k_z, k_u = jax.random.split(key, 3)
-
-        cov = _weighted_cov(parts, cov_weight)
-        chol = jnp.linalg.cholesky(cov)
-        eps = ratio
-
-        z = jax.random.normal(k_z, (n, d), dtype=parts.dtype)
-
-        # leapfrog: half kick, (n_leap-1) x (drift + full kick),
-        # drift + half kick. lax.scan body = one likelihood + one VJP.
-        p = z + 0.5 * eps * gamma * (g1 @ chol)
-
-        def leap(carry, k):
-            th, p, lk, g = carry
-            th = th + eps * (p @ chol.T)
-            lk, g = ll_and_grad(th)
-            kick = gamma * (g @ chol)
-            w = jnp.where(k < n_leap - 1, 1.0, 0.5).astype(parts.dtype)
-            p = p + w * eps * kick
-            return (th, p, lk, g), None
-
-        (prop, p_end, lk2, g2), _ = lax.scan(
-            leap, (parts, p, lk1, g1), jnp.arange(n_leap))
-
-        in_sup = prior.in_support(prop)
-        lp2 = prior.log_pdf(prop)
-
-        log_u = jnp.log(jax.random.uniform(k_u, (n,), dtype=parts.dtype))
-        log_acc = ((lk2 - lk1) * gamma + (lp2 - lp1)
-                   - 0.5 * (jnp.sum(p_end * p_end, axis=1)
-                            - jnp.sum(z * z, axis=1)))
-        accept = (in_sup & (log_acc >= log_u) & jnp.isfinite(lk2)
-                  & jnp.isfinite(prop).all(axis=1))
-
-        parts = jnp.where(accept[:, None], prop, parts)
-        lk1 = jnp.where(accept, lk2, lk1)
-        lp1 = jnp.where(accept, lp2, lp1)
-        g1 = jnp.where(accept[:, None], g2, g1)
-        r_ac = r_ac | accept
-
-        acc_sum = jnp.sum(r_ac)
-        done = acc_sum > r_th * n
-        ratio = jnp.where(~done & (acc_sum < cfg.accept_threshold_min * n),
-                          ratio * cfg.mh_ratio_decay, ratio)
-        return j + 1, key, parts, lk1, lp1, g1, r_ac, ratio, done
-
-    init = (jnp.zeros((), jnp.int32), key, particles, log_lik,
-            log_prior_cur0, g0, jnp.zeros((n,), bool),
-            jnp.ones((), particles.dtype), jnp.zeros((), bool))
-    j, _, parts, lk1, _, _, r_ac, ratio, _ = lax.while_loop(cond, body, init)
-    return MutationResult(parts, lk1, j, jnp.sum(r_ac), ratio)
+    return _run_sweeps("hmc", key, particles, log_lik, gamma, loglik_fn,
+                       prior, cfg)
 
 
 _MUTATION_KERNELS = {"rwm": mh_mutation, "mala": mala_mutation,
