@@ -4,7 +4,14 @@ The reference writes per-step particle CSVs but never reads them back
 (SMC_methanation_main.py:422; SURVEY.md §5 'written but never read back for
 resume'). Here checkpoints are complete: (particles, log_lik, gamma, PRNG
 key, step, diagnostics) round-trip through one .npz so a run can resume
-exactly — pass the loaded state to ``run_smc(..., state=...)``."""
+exactly — pass the loaded state to ``run_smc(..., state=...)``.
+
+Scale limit: ``save_state`` gathers the full particle array to host
+memory (``np.asarray`` per field), so checkpoint size and host RSS are
+O(N x d) — ~32 MB at N=1e6, ~3.2 GB at 1e8. Fine for every configuration
+run to date (the 1e8-particle mesh ambition the ring resampler targets
+would need per-shard writes via ``jax.experimental.multihost_utils`` or
+orbax-style OCDBT — not implemented; revisit when a pod is available)."""
 from __future__ import annotations
 
 import dataclasses
