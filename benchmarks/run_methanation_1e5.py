@@ -32,7 +32,9 @@ from smc_tpu.models.methanation import KIN_TRUE, MethanationModel, SIGMA_TRUE
 from smc_tpu.utils.compile_cache import enable_persistent_cache
 
 N = 100_000
-CKPT = "/tmp/meth_1e5.smck"
+# .npz explicitly: np.savez appends it anyway, and the resume check below
+# must test the path that actually lands on disk.
+CKPT = "/tmp/meth_1e5.smck.npz"
 WALL = "/tmp/meth_1e5_wall.json"
 
 
