@@ -69,7 +69,8 @@ def main():
     wall = prev_wall + time.perf_counter() - t0
     p = np.asarray(st.particles)
     truth = np.asarray(list(KIN_TRUE) + [SIGMA_TRUE])[list(model.est_idx)]
-    names = [model.param_names[i] for i in model.est_idx]
+    # param_names is already the est_idx subset (methanation.py:891-892).
+    names = list(model.param_names)
     print(json.dumps({
         "n_particles": N, "n_conditions": 30,
         "gamma": float(st.gamma), "steps": int(st.step),
