@@ -72,6 +72,14 @@ class SMCConfig:
     mutation: str = "rwm"
     # Leapfrog steps per HMC proposal (only used when mutation == "hmc").
     hmc_leapfrog: int = 5
+    # Particles per device execution under run_smc(granularity="block"):
+    # each mutation sweep's likelihood work is split into n_particles /
+    # block_particles bounded executions (the single-chip tunnel kills any
+    # execution over ~100 s — docs/PERF.md "Execution-duration limit" —
+    # and at N >= 1e6 even ONE methanation sweep exceeds that). None means
+    # one block = all particles (the "sweep" bound). Must divide
+    # n_particles. Identical math/PRNG stream to the other granularities.
+    block_particles: Any = None
     dtype: Any = jnp.float32
 
     def __post_init__(self):
@@ -91,6 +99,10 @@ class SMCConfig:
             raise ValueError(f"unknown mutation {self.mutation!r}")
         if self.hmc_leapfrog < 1:
             raise ValueError("hmc_leapfrog must be >= 1")
+        if self.block_particles is not None:
+            if (self.block_particles < 1
+                    or self.n_particles % self.block_particles):
+                raise ValueError("block_particles must divide n_particles")
 
     @property
     def evals_per_sweep(self) -> int:

@@ -72,7 +72,17 @@ def init_state(key: jax.Array, model, cfg: SMCConfig,
     # jit the initial sweep: eagerly the DAE march runs op-by-op (minutes of
     # per-op dispatch over the device tunnel); jitted it is one fused program
     # that also lands in the persistent compilation cache.
-    log_lik, _ = _jitted_loglik(model)(particles)
+    ll_fn = _jitted_loglik(model)
+    b = cfg.block_particles
+    if b and b < particles.shape[0]:
+        # Bounded executions for huge N (same reason as granularity="block"
+        # — at N=1e6 even the single initial sweep exceeds the tunnel
+        # worker's survivable execution duration).
+        log_lik = jnp.concatenate(
+            [ll_fn(particles[s:s + b])[0]
+             for s in range(0, particles.shape[0], b)])
+    else:
+        log_lik, _ = ll_fn(particles)
     zf = jnp.zeros((), cfg.dtype)
     zi = jnp.zeros((), jnp.int32)
     return SMCState(
@@ -209,6 +219,81 @@ def _run_step_by_sweeps(state: SMCState, cfg: SMCConfig, fns) -> SMCState:
     return finish(state, key, g, c)
 
 
+def make_block_step_fns(model, cfg: SMCConfig, psharding=None):
+    """Block-granularity step: like :func:`make_sweep_step_fns`, but each
+    sweep's likelihood work is further split into ``n_particles /
+    cfg.block_particles`` bounded device executions.
+
+    At N = 1e6 methanation even ONE sweep is a ~10-minute execution —
+    far over the tunnel worker's ~100 s ceiling (docs/PERF.md
+    "Execution-duration limit") — so the sweep itself must be blocked.
+    The mutation core is row-independent (kernels.make_mutation_parts):
+    the per-sweep globals (preconditioner Cholesky) and the full-N
+    randomness are computed in one cheap execution (``draw``, zero
+    likelihood evals), each particle block then runs propose/evaluate/
+    accept independently (``core``), and a final cheap execution folds
+    the concatenated results into the adaptive controller state
+    (``admin`` — early stop and step halving need global accept counts).
+    Identical math and PRNG stream to the other granularities: the same
+    z/log_u arrays are drawn once and sliced per block. Results are
+    statistically (not bitwise) equal to the one-execution-per-sweep
+    path: XLA compiles the likelihood separately per batch shape, and a
+    measured ~0.2% of rows differ by one ulp between full-batch and
+    block-batch programs — enough to flip rare accept decisions
+    (tests/test_sweep_granularity.py pins the statistical parity).
+    """
+    from smc_tpu.smc.kernels import MutationResult, make_mutation_parts
+    init_fn, draw_fn, core_fn, admin_fn, grad_fn = make_mutation_parts(
+        cfg.mutation, model.log_likelihood, model.prior, cfg)
+
+    @jax.jit
+    def prep(state: SMCState):
+        key, k_res, k_mh = jax.random.split(state.key, 3)
+        g = find_gamma(state.log_lik, state.gamma, cfg)
+        parts, lk = _resample(k_res, g, state, cfg, psharding)
+        return key, k_mh, g, parts, lk
+
+    @jax.jit
+    def finish(state: SMCState, key, g, c) -> SMCState:
+        m = MutationResult(c.particles, c.log_lik, c.j, jnp.sum(c.r_ac),
+                           c.mh_ratio)
+        return _advance(state, key, g, m, cfg, psharding)
+
+    return (prep, jax.jit(init_fn), jax.jit(draw_fn), jax.jit(core_fn),
+            jax.jit(admin_fn),
+            None if grad_fn is None else jax.jit(grad_fn), finish)
+
+
+def _run_step_by_blocks(state: SMCState, cfg: SMCConfig, fns) -> SMCState:
+    """One SMC step as a host loop over particle-blocked executions."""
+    prep, mut_init, draw, core, admin, grad_fn, finish = fns
+    block = cfg.block_particles or cfg.n_particles
+    key, k_mh, g, parts, lk = prep(state)
+    n = parts.shape[0]
+    slabs = range(0, n, block)
+    n_mh = cfg.mh_steps_final if float(g.gamma) >= 1.0 else cfg.mh_steps
+    g0 = None
+    if grad_fn is not None:
+        g0 = jnp.concatenate([grad_fn(parts[s:s + block]) for s in slabs])
+    c = mut_init(k_mh, parts, lk, g0)
+    while int(c.j) < n_mh and not bool(c.done):
+        skey, aux_g, aux_r = draw(c)
+        outs = [core(c.particles[s:s + block], c.log_lik[s:s + block],
+                     c.log_prior[s:s + block],
+                     c.grad if c.grad.ndim == 0 else c.grad[s:s + block],
+                     c.mh_ratio, aux_g,
+                     tuple(a[s:s + block] for a in aux_r), g.gamma)
+                for s in slabs]
+        parts_n = jnp.concatenate([o[0] for o in outs])
+        lk_n = jnp.concatenate([o[1] for o in outs])
+        lp_n = jnp.concatenate([o[2] for o in outs])
+        g_n = (outs[0][3] if outs[0][3].ndim == 0
+               else jnp.concatenate([o[3] for o in outs]))
+        acc = jnp.concatenate([o[4] for o in outs])
+        c = admin(c, skey, parts_n, lk_n, lp_n, g_n, acc, g.gamma)
+    return finish(state, key, g, c)
+
+
 def make_smc_step(model, cfg: SMCConfig, donate: bool = True, psharding=None):
     """Jitted SMCState -> SMCState step closure over the model."""
     def _step(state: SMCState) -> SMCState:
@@ -230,13 +315,20 @@ def run_smc(model, cfg: SMCConfig, key: jax.Array,
     adaptive MH sweeps in one lax.while_loop — fastest); ``"sweep"``
     bounds every device execution to at most one mutation sweep
     (make_sweep_step_fns) — required on the single-chip tunnel at huge N,
-    where a multi-minute fused execution crashes the TPU worker.
+    where a multi-minute fused execution crashes the TPU worker;
+    ``"block"`` additionally splits each sweep into ``n_particles /
+    cfg.block_particles`` executions (make_block_step_fns) — required
+    when even one sweep exceeds the worker ceiling (N >= ~1e6
+    methanation). All three run identical math and PRNG streams.
     """
-    if granularity not in ("step", "sweep"):
+    if granularity not in ("step", "sweep", "block"):
         raise ValueError(f"unknown granularity {granularity!r}")
     if state is None:
         state = init_state(key, model, cfg)
-    if granularity == "sweep":
+    if granularity == "block":
+        block_fns = make_block_step_fns(model, cfg, psharding=psharding)
+        step_fn = lambda s: _run_step_by_blocks(s, cfg, block_fns)  # noqa: E731
+    elif granularity == "sweep":
         sweep_fns = make_sweep_step_fns(model, cfg, psharding=psharding)
         step_fn = lambda s: _run_step_by_sweeps(s, cfg, sweep_fns)  # noqa: E731
     else:

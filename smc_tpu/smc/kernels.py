@@ -532,31 +532,44 @@ def _make_ll_and_grad(loglik_fn):
     return ll_and_grad
 
 
-def make_mutation_sweeper(kind: str, loglik_fn, prior: Prior,
-                          cfg: SMCConfig):
-    """Build ``(init_fn, sweep_fn)`` for one adaptive mutation sweep.
+def make_mutation_parts(kind: str, loglik_fn, prior: Prior,
+                        cfg: SMCConfig):
+    """Split one adaptive mutation sweep at its parallel-decomposition seam.
 
-    - ``init_fn(key, particles, log_lik) -> MutationCarry`` — costs zero
-      likelihood evaluations for ``"rwm"``, one forward+VJP for
-      ``"mala"``/``"hmc"`` (the initial gradient).
-    - ``sweep_fn(carry, gamma) -> MutationCarry`` — ONE sweep: proposal,
-      ``cfg.evals_per_sweep`` likelihood evaluation(s), accept/update,
-      early-stop/step-halving bookkeeping. ``gamma`` is a traced operand
-      so one compiled sweep serves every tempering step.
+    Returns ``(init_fn, draw_fn, core_fn, admin_fn, grad_fn)``:
 
-    The fused kernels run ``sweep_fn`` under ``lax.while_loop``
-    (:func:`_run_sweeps`); the driver's sweep-granularity mode jits it
-    standalone so no single device execution exceeds one sweep — the
-    bounded-execution requirement of the single-chip tunnel at huge N
-    (a >~100 s execution kills the TPU worker; docs/PERF.md).
+    - ``init_fn(key, particles, log_lik, g0=None) -> MutationCarry`` —
+      costs zero likelihood evaluations for ``"rwm"``; for ``"mala"``/
+      ``"hmc"`` it computes the initial gradient (one forward+VJP) unless
+      a precomputed ``g0`` is passed (the block-granularity driver
+      computes it in bounded pieces via ``grad_fn``).
+    - ``draw_fn(carry) -> (key, aux_global, aux_rows)`` — the sweep's
+      global quantities (empirical-covariance preconditioner factors,
+      recomputed every sweep per Micmem_SMC_main.py:308-311) and its
+      full-N randomness (proposal noise ``z``, accept draws ``log_u``).
+      Zero likelihood evaluations.
+    - ``core_fn(parts, lk1, lp1, g1, ratio, aux_global, aux_rows, gamma)
+      -> (parts, lk1, lp1, g1, accept)`` — propose / evaluate / accept.
+      Every output row depends only on its own input row plus
+      ``aux_global``, so the core can run on any contiguous particle
+      block with sliced ``aux_rows`` and produce results identical to the
+      full-N evaluation (granularity="block" relies on this).
+    - ``admin_fn(carry, key, parts, lk1, lp1, g1, accept, gamma)`` —
+      fold a completed sweep into the carry: accepted-at-least-once set,
+      early stop past the gamma-dependent threshold, step-ratio halving
+      below the floor (Micmem_SMC_main.py:236-251). Needs the full-N
+      accept vector (the thresholds are global counts).
+    - ``grad_fn(particles) -> (N, d) likelihood gradients`` (None for
+      ``"rwm"``) — for block-granularity initialization.
     """
     ll_and_grad = _make_ll_and_grad(loglik_fn)
     grad_based = kind in ("mala", "hmc")
 
-    def init_fn(key, particles, log_lik):
+    def init_fn(key, particles, log_lik, g0=None):
         n = particles.shape[0]
         if grad_based:
-            _, g0 = ll_and_grad(particles)
+            if g0 is None:
+                _, g0 = ll_and_grad(particles)
         else:
             g0 = jnp.zeros((), particles.dtype)
         return MutationCarry(
@@ -566,10 +579,7 @@ def make_mutation_sweeper(kind: str, loglik_fn, prior: Prior,
             mh_ratio=jnp.ones((), particles.dtype),
             done=jnp.zeros((), bool))
 
-    def _admin(c, key, parts, lk1, lp1, g1, accept, gamma):
-        """Shared post-proposal bookkeeping: accepted-at-least-once set,
-        early stop past the gamma-dependent threshold, step-ratio halving
-        below the floor (Micmem_SMC_main.py:236-251)."""
+    def admin_fn(c, key, parts, lk1, lp1, g1, accept, gamma):
         n = parts.shape[0]
         r_th = jnp.where(gamma >= 1.0, cfg.accept_threshold_final,
                          cfg.accept_threshold)
@@ -581,17 +591,26 @@ def make_mutation_sweeper(kind: str, loglik_fn, prior: Prior,
         return MutationCarry(c.j + 1, key, parts, lk1, lp1, g1, r_ac,
                              ratio, done)
 
-    if kind == "rwm":
-        def sweep_fn(c, gamma):
-            n, d = c.particles.shape
-            cov_weight = cfg.cov_weight(d).astype(c.particles.dtype)
-            key, k_z, k_u = jax.random.split(c.key, 3)
-            parts, lk1, lp1, ratio = (c.particles, c.log_lik, c.log_prior,
-                                      c.mh_ratio)
+    def _chol_and_draws(c):
+        """Per-sweep preconditioner + randomness shared by all kinds."""
+        n, d = c.particles.shape
+        cov_weight = cfg.cov_weight(d).astype(c.particles.dtype)
+        key, k_z, k_u = jax.random.split(c.key, 3)
+        cov = _weighted_cov(c.particles, cov_weight)
+        chol = jnp.linalg.cholesky(cov)
+        z = jax.random.normal(k_z, (n, d), dtype=c.particles.dtype)
+        log_u = jnp.log(jax.random.uniform(k_u, (n,),
+                                           dtype=c.particles.dtype))
+        return key, cov, chol, (z, log_u)
 
-            cov = _weighted_cov(parts, cov_weight)
-            chol = jnp.linalg.cholesky(cov)
-            z = jax.random.normal(k_z, (n, d), dtype=parts.dtype)
+    if kind == "rwm":
+        def draw_fn(c):
+            key, _, chol, rows = _chol_and_draws(c)
+            return key, (chol,), rows
+
+        def core_fn(parts, lk1, lp1, g1, ratio, aux_g, aux_r, gamma):
+            (chol,) = aux_g
+            z, log_u = aux_r
             prop = parts + (z @ chol.T) * ratio
 
             in_sup = prior.in_support(prop)
@@ -602,33 +621,29 @@ def make_mutation_sweeper(kind: str, loglik_fn, prior: Prior,
             lk2, _ = loglik_fn(prop_eval)
             lp2 = prior.log_pdf(prop_eval)
 
-            log_u = jnp.log(jax.random.uniform(k_u, (n,),
-                                               dtype=parts.dtype))
             log_acc = (lk2 - lk1) * gamma + (lp2 - lp1)
             accept = in_sup & (log_acc >= log_u) & jnp.isfinite(lk2)
 
             parts = jnp.where(accept[:, None], prop_eval, parts)
             lk1 = jnp.where(accept, lk2, lk1)
             lp1 = jnp.where(accept, lp2, lp1)
-            return _admin(c, key, parts, lk1, lp1, c.grad, accept, gamma)
+            return parts, lk1, lp1, g1, accept
 
     elif kind == "mala":
-        def sweep_fn(c, gamma):
-            n, d = c.particles.shape
-            cov_weight = cfg.cov_weight(d).astype(c.particles.dtype)
-            key, k_z, k_u = jax.random.split(c.key, 3)
-            parts, lk1, lp1, g1, ratio = (c.particles, c.log_lik,
-                                          c.log_prior, c.grad, c.mh_ratio)
-
-            cov = _weighted_cov(parts, cov_weight)
-            chol = jnp.linalg.cholesky(cov)
+        def draw_fn(c):
+            d = c.particles.shape[1]
+            key, cov, chol, rows = _chol_and_draws(c)
             # L^{-1} once per sweep on the tiny (d,d); the per-particle
             # solve is then a plain (d,d)@(d,N) matmul (no large-batch LU
             # custom call — see CLAUDE.md hazard).
             linv = jax.scipy.linalg.solve_triangular(
-                chol, jnp.eye(d, dtype=parts.dtype), lower=True)
+                chol, jnp.eye(d, dtype=c.particles.dtype), lower=True)
+            return key, (cov, chol, linv), rows
+
+        def core_fn(parts, lk1, lp1, g1, ratio, aux_g, aux_r, gamma):
+            cov, chol, linv = aux_g
+            z, log_u = aux_r
             half_e2 = 0.5 * ratio * ratio * gamma
-            z = jax.random.normal(k_z, (n, d), dtype=parts.dtype)
             prop = parts + half_e2 * (g1 @ cov) + (z @ chol.T) * ratio
 
             in_sup = prior.in_support(prop)
@@ -642,8 +657,6 @@ def make_mutation_sweeper(kind: str, loglik_fn, prior: Prior,
             log_q_rev = -0.5 * jnp.sum(v * v, axis=0) / (ratio * ratio)
             log_q_fwd = -0.5 * jnp.sum(z * z, axis=1)
 
-            log_u = jnp.log(jax.random.uniform(k_u, (n,),
-                                               dtype=parts.dtype))
             log_acc = ((lk2 - lk1) * gamma + (lp2 - lp1)
                        + log_q_rev - log_q_fwd)
             accept = in_sup & (log_acc >= log_u) & jnp.isfinite(lk2)
@@ -652,21 +665,18 @@ def make_mutation_sweeper(kind: str, loglik_fn, prior: Prior,
             lk1 = jnp.where(accept, lk2, lk1)
             lp1 = jnp.where(accept, lp2, lp1)
             g1 = jnp.where(accept[:, None], g2, g1)
-            return _admin(c, key, parts, lk1, lp1, g1, accept, gamma)
+            return parts, lk1, lp1, g1, accept
 
     elif kind == "hmc":
         n_leap = cfg.hmc_leapfrog
 
-        def sweep_fn(c, gamma):
-            n, d = c.particles.shape
-            cov_weight = cfg.cov_weight(d).astype(c.particles.dtype)
-            key, k_z, k_u = jax.random.split(c.key, 3)
-            parts, lk1, lp1, g1, eps = (c.particles, c.log_lik,
-                                        c.log_prior, c.grad, c.mh_ratio)
+        def draw_fn(c):
+            key, _, chol, rows = _chol_and_draws(c)
+            return key, (chol,), rows
 
-            cov = _weighted_cov(parts, cov_weight)
-            chol = jnp.linalg.cholesky(cov)
-            z = jax.random.normal(k_z, (n, d), dtype=parts.dtype)
+        def core_fn(parts, lk1, lp1, g1, eps, aux_g, aux_r, gamma):
+            (chol,) = aux_g
+            z, log_u = aux_r
 
             # leapfrog: half kick, (n_leap-1) x (drift + full kick),
             # drift + half kick. lax.scan body = one likelihood + one VJP.
@@ -687,8 +697,6 @@ def make_mutation_sweeper(kind: str, loglik_fn, prior: Prior,
             in_sup = prior.in_support(prop)
             lp2 = prior.log_pdf(prop)
 
-            log_u = jnp.log(jax.random.uniform(k_u, (n,),
-                                               dtype=parts.dtype))
             log_acc = ((lk2 - lk1) * gamma + (lp2 - lp1)
                        - 0.5 * (jnp.sum(p_end * p_end, axis=1)
                                 - jnp.sum(z * z, axis=1)))
@@ -699,10 +707,45 @@ def make_mutation_sweeper(kind: str, loglik_fn, prior: Prior,
             lk1 = jnp.where(accept, lk2, lk1)
             lp1 = jnp.where(accept, lp2, lp1)
             g1 = jnp.where(accept[:, None], g2, g1)
-            return _admin(c, key, parts, lk1, lp1, g1, accept, gamma)
+            return parts, lk1, lp1, g1, accept
 
     else:
         raise ValueError(f"unknown mutation kind {kind!r}")
+
+    grad_fn = (lambda p: ll_and_grad(p)[1]) if grad_based else None
+    return init_fn, draw_fn, core_fn, admin_fn, grad_fn
+
+
+def make_mutation_sweeper(kind: str, loglik_fn, prior: Prior,
+                          cfg: SMCConfig):
+    """Build ``(init_fn, sweep_fn)`` for one adaptive mutation sweep.
+
+    - ``init_fn(key, particles, log_lik) -> MutationCarry`` — costs zero
+      likelihood evaluations for ``"rwm"``, one forward+VJP for
+      ``"mala"``/``"hmc"`` (the initial gradient).
+    - ``sweep_fn(carry, gamma) -> MutationCarry`` — ONE sweep: proposal,
+      ``cfg.evals_per_sweep`` likelihood evaluation(s), accept/update,
+      early-stop/step-halving bookkeeping. ``gamma`` is a traced operand
+      so one compiled sweep serves every tempering step.
+
+    The fused kernels run ``sweep_fn`` under ``lax.while_loop``
+    (:func:`_run_sweeps`); the driver's sweep-granularity mode jits it
+    standalone so no single device execution exceeds one sweep — the
+    bounded-execution requirement of the single-chip tunnel at huge N
+    (a >~100 s execution kills the TPU worker; docs/PERF.md). Composed
+    from :func:`make_mutation_parts`, so all three execution
+    granularities (fused / sweep / block) run the identical math and
+    PRNG stream by construction.
+    """
+    init_fn, draw_fn, core_fn, admin_fn, _ = make_mutation_parts(
+        kind, loglik_fn, prior, cfg)
+
+    def sweep_fn(c, gamma):
+        key, aux_g, aux_r = draw_fn(c)
+        parts, lk1, lp1, g1, accept = core_fn(
+            c.particles, c.log_lik, c.log_prior, c.grad, c.mh_ratio,
+            aux_g, aux_r, gamma)
+        return admin_fn(c, key, parts, lk1, lp1, g1, accept, gamma)
 
     return init_fn, sweep_fn
 
