@@ -4,13 +4,15 @@ Run on the real chip:  python benchmarks/ab_chunk.py [secs_per_probe]
 
 PERF.md pins the DAE march as bound by while-loop iteration overhead and
 small-op scheduling, both of which are fixed costs per scan iteration —
-and therefore amortized by a wider lane axis. The flagship default is
-chunk=128 (128 particles x 30 conditions = 3,840 lanes); this sweeps
-chunk in {64, 128, 256, 512} (1,920 - 15,360 lanes) on the full
-likelihood march, interleaved in one process so tunnel/session variance
-cancels. Throughput is reported per particle (chunk / wall), so a flat
-curve means the iteration tax is already amortized at 128 and a rising
-curve means wider dispatches win.
+and therefore amortized by a wider lane axis. This sweeps chunk in
+{64, 128, 256, 512} (1,920 - 15,360 lanes) on the full likelihood march,
+interleaved in one process so tunnel/session variance cancels.
+Throughput is reported per particle (chunk / wall).
+
+Measured 2026-08-19 (one v5e chip, two interleaved rounds, docs/PERF.md):
+64 -> 1,253-1,275 pps; 128 -> 1,387-1,388; 256 -> 1,373-1,374;
+512 -> 1,473-1,476 (+6.2% over the round-2 default 128). 512 is now the
+flagship default (models/methanation.py particle_chunk).
 
 Memory check at 512: the largest live buffer set is the lagged LU
 factors, (7, 7, nx=51, 15360) fp32 = 154 MB in HBM — far under budget;

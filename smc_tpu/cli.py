@@ -50,13 +50,19 @@ def _add_common(p):
                    help="fuse the whole run into one XLA program "
                         "(no per-step artifacts)")
     p.add_argument("--granularity", default="step",
-                   choices=["step", "sweep"],
+                   choices=["step", "sweep", "block"],
                    help="device-execution granularity: 'step' fuses all "
                         "of a step's MH sweeps into one XLA execution "
                         "(fastest); 'sweep' bounds each execution to one "
                         "sweep (required at huge N on tunneled "
                         "single-chip sessions, where multi-minute "
-                        "executions crash the TPU worker)")
+                        "executions crash the TPU worker); 'block' "
+                        "additionally splits each sweep into "
+                        "particles/block-particles executions (N >= ~1e6 "
+                        "methanation, where even one sweep is too long)")
+    p.add_argument("--block-particles", type=int, default=None,
+                   help="particles per device execution with "
+                        "--granularity block (must divide --particles)")
     p.add_argument("--profile", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler device trace to LOGDIR")
 
@@ -129,7 +135,8 @@ def _cfg(args):
                      resampling=getattr(args, "resampling",
                                         "residual_systematic"),
                      mutation=getattr(args, "mutation", "rwm"),
-                     hmc_leapfrog=getattr(args, "hmc_leapfrog", 5))
+                     hmc_leapfrog=getattr(args, "hmc_leapfrog", 5),
+                     block_particles=getattr(args, "block_particles", None))
 
 
 def cmd_run(args):
@@ -306,7 +313,7 @@ def main(argv=None):
                     choices=["rk4", "dopri5", "exact", "pallas",
                              "pallas_exact"])
     pr.add_argument("--conditions", type=int, default=30)
-    pr.add_argument("--chunk", type=int, default=128)
+    pr.add_argument("--chunk", type=int, default=512)
     pr.add_argument("--data-dir", default=None,
                     help="methanation real-data mode: directory holding "
                          "conditions.csv + data.csv")
@@ -328,7 +335,7 @@ def main(argv=None):
                     choices=["mm", "methanation", "banana", "gmm"])
     ps.add_argument("--mm-method", default="rk4", choices=["rk4", "exact"])
     ps.add_argument("--conditions", type=int, default=30)
-    ps.add_argument("--chunk", type=int, default=128)
+    ps.add_argument("--chunk", type=int, default=512)
     ps.add_argument("--datalist", default=None)
     ps.add_argument("--nx", type=int, default=None)
     _add_common(ps)
@@ -343,7 +350,7 @@ def main(argv=None):
     pm.add_argument("--mm-method", default="exact",
                     choices=["rk4", "dopri5", "exact"])
     pm.add_argument("--conditions", type=int, default=30)
-    pm.add_argument("--chunk", type=int, default=128)
+    pm.add_argument("--chunk", type=int, default=512)
     pm.add_argument("--datalist", default=None)
     pm.add_argument("--data-dir", default=None)
     pm.add_argument("--information-csv", default=None)

@@ -859,7 +859,13 @@ class MethanationModel:
     # vs 1381/1383 at 256; round 1: 816 vs 765 at 256/1024) — 3840 lanes
     # already saturate the VPU; bigger chunks only grow the HBM working
     # set and the factor-reload traffic of reuse sweeps.
-    particle_chunk: int = 128
+    # Lanes per device dispatch of the DAE march (chunk x n_conditions
+    # lanes). Measured sweep on one v5e chip (benchmarks/ab_chunk.py,
+    # docs/PERF.md): 512 beats the round-2 default 128 by +6% (1,475 vs
+    # 1,388 particles/s) — the march is bound by fixed per-scan-iteration
+    # costs that a wider lane axis amortizes. Any N works (trailing chunk
+    # is padded); peak extra HBM at 512 is ~154 MB of lagged LU factors.
+    particle_chunk: int = 512
     # "batch_last": lanes-major engine (ops/dae_fast.py) — the TPU hot path.
     # "blocked": per-system vmap engine (ops/dae.py) — oracle for tests.
     engine: str = "batch_last"

@@ -17,6 +17,14 @@ def test_cli_run_banana(tmp_path, capsys):
     assert os.path.exists(tmp_path / runs[0] / "checkpoints" / "final.npz")
 
 
+def test_cli_run_block_granularity(tmp_path, capsys):
+    rc = main(["run", "--model", "banana", "--particles", "512",
+               "--granularity", "block", "--block-particles", "128",
+               "--outdir", str(tmp_path), "--quiet", "--no-plots"])
+    assert rc == 0
+    assert "gamma: 1.0" in capsys.readouterr().out
+
+
 def test_cli_run_mm_with_artifacts_and_resume(tmp_path, capsys):
     rc = main(["run", "--model", "mm", "--mm-method", "exact",
                "--particles", "128", "--outdir", str(tmp_path), "--quiet"])
