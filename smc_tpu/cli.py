@@ -63,6 +63,13 @@ def _add_common(p):
     p.add_argument("--block-particles", type=int, default=None,
                    help="particles per device execution with "
                         "--granularity block (must divide --particles)")
+    p.add_argument("--checkpoint-format", default="auto",
+                   choices=["auto", "npz", "smck", "smcd"],
+                   help="checkpoint container: 'auto' = native async .smck "
+                        "if built else .npz; 'smcd' streams row slabs to a "
+                        "memory-mapped per-field directory (O(slab) host "
+                        "memory — for states too large to gather to host "
+                        "RAM in one piece)")
     p.add_argument("--profile", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler device trace to LOGDIR")
 
@@ -184,7 +191,8 @@ def _run_inner(args, model, truth, cfg, key):
             model, cfg, key, rundir=RunDir(root=args.outdir, tag=args.model),
             true_values=truth, plots_enabled=not args.no_plots,
             verbose=not args.quiet,
-            granularity=getattr(args, "granularity", "step"))
+            granularity=getattr(args, "granularity", "step"),
+            checkpoint_format=getattr(args, "checkpoint_format", "auto"))
         p = np.asarray(final.particles)
 
     print(f"gamma: {float(final.gamma)}  steps: {int(final.step)}  "
@@ -211,7 +219,8 @@ def cmd_resume(args):
         rundir=RunDir(root=args.outdir, tag=f"{args.model}_resume"),
         true_values=truth, resume_from=args.checkpoint,
         plots_enabled=not args.no_plots, verbose=not args.quiet, mesh=mesh,
-        granularity=getattr(args, "granularity", "step"))
+        granularity=getattr(args, "granularity", "step"),
+        checkpoint_format=getattr(args, "checkpoint_format", "auto"))
     print(f"gamma: {float(final.gamma)}  steps: {int(final.step)}")
     print(f"artifacts: {rd.path}")
     return 0

@@ -31,7 +31,8 @@ class RunManager:
                  checkpoint_every: int = 1,
                  parity_every: int = 1,
                  parity_subsample: int = 64,
-                 async_io: bool = True):
+                 async_io: bool = True,
+                 checkpoint_format: str = "auto"):
         self.rd = rundir
         self.model = model
         self.cfg = cfg
@@ -46,8 +47,15 @@ class RunManager:
         self.parity_subsample = parity_subsample
         self._pred_fn = None
         self.prior_particles = None
+        # "auto": native async .smck if available else .npz; "npz"/"smck"
+        # force those; "smcd" streams row slabs to a memory-mapped per-field
+        # directory — O(slab) host memory for beyond-host-RAM states
+        # (io/checkpoint.save_state_chunked).
+        if checkpoint_format not in ("auto", "npz", "smck", "smcd"):
+            raise ValueError(f"unknown checkpoint_format {checkpoint_format!r}")
+        self.checkpoint_format = checkpoint_format
         self._ckpt = None
-        if async_io:
+        if async_io and checkpoint_format in ("auto", "smck"):
             from smc_tpu.runtime import AsyncCheckpointer
             ck = AsyncCheckpointer()
             self._ckpt = ck if ck.is_native else None
@@ -55,8 +63,12 @@ class RunManager:
         self.metrics = MetricsLogger(rundir.file("metrics.jsonl"))
 
     def _save_ckpt(self, state, name: str):
-        from smc_tpu.io.checkpoint import save_state, save_state_async
-        if self._ckpt is not None:
+        from smc_tpu.io.checkpoint import (save_state, save_state_async,
+                                           save_state_chunked)
+        if self.checkpoint_format == "smcd":
+            save_state_chunked(self.rd.file("checkpoints", name + ".smcd"),
+                               state)
+        elif self._ckpt is not None:
             save_state_async(self._ckpt,
                              self.rd.file("checkpoints", name + ".smck"),
                              state)
@@ -115,7 +127,10 @@ class RunManager:
         save_posterior_csv(self.rd.file("Posterior_Distribution.csv"), p,
                            self.model.param_names)
         save_particles_csv(self.rd.file("pred", "last_p_pred.csv"), p)
-        save_state(self.rd.file("checkpoints", "final.npz"), state)
+        if self.checkpoint_format == "smcd":
+            self._save_ckpt(state, "final")
+        else:
+            save_state(self.rd.file("checkpoints", "final.npz"), state)
         self.metrics.close()
         if self._ckpt is not None:
             self._ckpt.close()
@@ -140,7 +155,8 @@ def run_with_artifacts(model, cfg: SMCConfig, key,
                        plots_enabled: bool = True,
                        verbose: bool = True,
                        mesh=None,
-                       granularity: str = "step"):
+                       granularity: str = "step",
+                       checkpoint_format: str = "auto"):
     """Full orchestrated run; returns (final_state, rundir).
 
     ``mesh``: optional jax.sharding.Mesh — the particle axis is sharded over
@@ -159,7 +175,8 @@ def run_with_artifacts(model, cfg: SMCConfig, key,
     mgr = None
     if primary:
         rd.archive_config(cfg, model)
-        mgr = RunManager(rd, model, cfg, true_values, plots_enabled)
+        mgr = RunManager(rd, model, cfg, true_values, plots_enabled,
+                         checkpoint_format=checkpoint_format)
 
     psharding = None
     if mesh is not None:

@@ -44,6 +44,28 @@ def test_cli_run_mm_with_artifacts_and_resume(tmp_path, capsys):
     assert "gamma: 1.0" in capsys.readouterr().out
 
 
+def test_cli_run_smcd_checkpoints_and_resume(tmp_path, capsys):
+    """--checkpoint-format smcd writes streaming-slab directories per step
+    and a final.smcd, and resume accepts the directory path."""
+    rc = main(["run", "--model", "banana", "--particles", "256",
+               "--checkpoint-format", "smcd",
+               "--outdir", str(tmp_path), "--quiet", "--no-plots"])
+    assert rc == 0
+    run = tmp_path / os.listdir(tmp_path)[0]
+    final = run / "checkpoints" / "final.smcd"
+    assert os.path.isdir(final)
+    assert os.path.exists(final / "particles.npy")
+    assert os.path.exists(final / "meta.json")
+    steps = [d for d in os.listdir(run / "checkpoints")
+             if d.startswith("step") and d.endswith(".smcd")]
+    assert steps
+    rc = main(["resume", "--checkpoint", str(run / "checkpoints" / steps[0]),
+               "--model", "banana", "--particles", "256",
+               "--outdir", str(tmp_path), "--quiet", "--no-plots"])
+    assert rc == 0
+    assert "gamma: 1.0" in capsys.readouterr().out
+
+
 def test_cli_generate_data(tmp_path):
     rc = main(["generate-data", "--outdir", str(tmp_path / "d")])
     assert rc == 0

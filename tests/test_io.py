@@ -49,6 +49,49 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     assert float(final.gamma) == 1.0
 
 
+def test_checkpoint_chunked_roundtrip(tmp_path):
+    """The .smcd streaming format: identical content to the .npz path,
+    written in bounded row slabs (incl. from a sharded state)."""
+    from smc_tpu.io.checkpoint import save_state_chunked, _iter_row_slabs
+    from smc_tpu.parallel.mesh import make_mesh, shard_state
+
+    model = MichaelisMentenModel.default(method="exact")
+    cfg = SMCConfig(n_particles=256)
+    state = init_state(jax.random.key(5), model, cfg)
+    state = make_smc_step(model, cfg, donate=False)(state)
+
+    # Slab iteration covers every row exactly once at a tiny byte budget.
+    max_bytes = 32 * state.particles.shape[1] * 4
+    offs = np.zeros(state.particles.shape[0], dtype=int)
+    for ofs, slab in _iter_row_slabs(state.particles, max_bytes):
+        assert slab.shape[0] * slab.shape[1] * 4 <= max_bytes
+        offs[ofs:ofs + slab.shape[0]] += 1
+    assert (offs == 1).all()
+
+    path = save_state_chunked(str(tmp_path / "ckpt"), state,
+                              max_bytes=max_bytes)
+    assert path.endswith(".smcd") and os.path.isdir(path)
+    restored = load_state(path)
+    for f in ("particles", "log_lik", "gamma", "step", "ess",
+              "total_lik_evals", "log_evidence"):
+        np.testing.assert_array_equal(np.asarray(getattr(state, f)),
+                                      np.asarray(getattr(restored, f)))
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(state.key)),
+        np.asarray(jax.random.key_data(restored.key)))
+
+    # Sharded state: per-shard streaming writes the same bytes.
+    mesh = make_mesh()
+    sharded = shard_state(state, mesh)
+    path2 = save_state_chunked(str(tmp_path / "ckpt_sharded"), sharded,
+                               max_bytes=max_bytes)
+    again = load_state(path2)
+    np.testing.assert_array_equal(np.asarray(state.particles),
+                                  np.asarray(again.particles))
+    np.testing.assert_array_equal(np.asarray(state.log_lik),
+                                  np.asarray(again.log_lik))
+
+
 def test_posterior_csv_roundtrip(tmp_path):
     p = np.random.default_rng(0).normal(size=(50, 3)).astype(np.float32)
     f1 = str(tmp_path / "post.csv")
