@@ -14,11 +14,9 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from smc_tpu.config import SMCConfig
-from smc_tpu.priors import Prior
 from smc_tpu.smc.sbc import rank_chi2, rank_chi2_pvalues, sbc_ranks
 
 R = 256          # replicates
@@ -27,24 +25,11 @@ L = 127          # rank draws
 
 
 def main():
-    from smc_tpu.models.michaelis_menten import make_mm_data_loglik
-    from smc_tpu.ops.lambertw import lambertw
-    ts = jnp.linspace(0.0, 10.0, 40)
-    s0 = jnp.asarray([2.0, 1.0, 4.0, 0.5, 3.0], jnp.float32)
-    prior = Prior.uniform([0.5, 0.1, 0.01], [2.0, 1.5, 0.05])
     # "exact" jnp path: identical math to the pallas kernel (whose parity
     # is pinned by pallas_onchip_smoke.py); keeps this program's vmap rule
     # simple and the SBC result attributable to the SAMPLER, not the kernel.
-    loglik = make_mm_data_loglik(ts, s0, method="exact")
-
-    def simulate(key, theta):
-        vmax, km, sigma = theta[0], theta[1], theta[2]
-        km_safe = jnp.maximum(km, 1e-8)
-        logz = (jnp.log(s0 / km_safe)[None]
-                + (s0[None] - vmax * ts[:, None]) / km_safe)
-        S = km_safe * lambertw(jnp.exp(jnp.clip(logz, -60.0, 60.0)))
-        P_true = (s0[None] - S).T
-        return P_true + sigma * jax.random.normal(key, P_true.shape)
+    from smc_tpu.smc.sbc import mm_sbc_problem
+    prior, simulate, loglik, _ = mm_sbc_problem(method="exact")
 
     cfg = SMCConfig(n_particles=N)
     t0 = time.perf_counter()

@@ -7,6 +7,7 @@ source, SURVEY.md §5 'no CLI flags, no env vars') with a real CLI:
   smc-tpu run --model methanation --particles 512
   smc-tpu run --model banana --device-loop
   smc-tpu ensemble --datasets 8 --particles 512          # hierarchical
+  smc-tpu sbc --replicates 64                            # calibration check
   smc-tpu generate-data --outdir data                    # C16 pseudo-data
   smc-tpu resume --checkpoint runs/<ts>/checkpoints/step3.npz --model mm
 """
@@ -273,6 +274,55 @@ def cmd_ensemble(args):
     return 0
 
 
+def cmd_sbc(args):
+    """Simulation-based calibration of the sampler (Talts et al. 2018):
+    R replicate prior-draw -> simulate -> posterior cycles, run as ONE
+    fused ensemble program, then rank-uniformity statistics. The
+    statistical upgrade of the reference's truth-vline-on-histogram check
+    (methanation_functions.py:194); see docs/PARITY.md."""
+    import jax
+    from smc_tpu.config import SMCConfig
+    from smc_tpu.smc.sbc import (methanation_sbc_problem, mm_sbc_problem,
+                                 rank_chi2, rank_chi2_pvalues, sbc_ranks)
+    if args.model == "mm":
+        prior, simulate, loglik, names = mm_sbc_problem()
+    else:
+        prior, simulate, loglik, names = methanation_sbc_problem(
+            particle_chunk=min(64, args.particles))
+    if args.rank_draws >= args.particles:
+        raise SystemExit("--rank-draws must be < --particles")
+    cfg = SMCConfig(n_particles=args.particles, mh_steps=args.mh_steps,
+                    mh_steps_final=args.mh_steps_final)
+    ranks, _, _ = sbc_ranks(jax.random.key(args.seed), prior, simulate,
+                            loglik, n_replicates=args.replicates, cfg=cfg,
+                            n_rank_draws=args.rank_draws)
+    R, L = args.replicates, args.rank_draws
+    stats = rank_chi2(ranks, L)
+    pvals = rank_chi2_pvalues(ranks, L)
+    # mean normalized rank: calibrated -> 0.5 +/- 1/sqrt(12 R); readable
+    # even at replicate counts too small for the chi-square bins.
+    mean_norm = ranks.mean(0) / L
+    z = (mean_norm - 0.5) * np.sqrt(12.0 * R)
+    print(f"SBC: {R} replicates x {args.particles} particles, "
+          f"{L} rank draws ({args.model})")
+    for j, nm in enumerate(names):
+        print(f"  {nm}: mean rank {mean_norm[j]:.3f} (z={z[j]:+.2f})  "
+              f"chi2(df7)={stats[j]:.2f}  p={pvals[j]:.3g}")
+    calibrated = bool((pvals > args.alpha).all())
+    if R < 40:
+        print(f"  (chi-square is underpowered below ~40 replicates; "
+              f"judge by the mean-rank z-scores)")
+        calibrated = bool((np.abs(z) < 4.0).all())
+    print(f"calibrated: {calibrated}")
+    if args.ranks_csv:
+        with open(args.ranks_csv, "w") as f:
+            f.write(",".join(names) + "\n")
+            for row in ranks:
+                f.write(",".join(str(int(v)) for v in row) + "\n")
+        print(f"wrote {args.ranks_csv}")
+    return 0 if calibrated else 1
+
+
 def cmd_generate_data(args):
     """C16/C17 parity: MM pseudo-data CSVs (Micmen_generate_data.py:31-66)
     or methanation data.csv/data_mol.csv/conditions.csv
@@ -382,6 +432,24 @@ def main(argv=None):
                          "populations to one batched kernel)")
     _add_common(pe)
     pe.set_defaults(fn=cmd_ensemble)
+
+    pb = sub.add_parser("sbc",
+                        help="simulation-based calibration check of the "
+                             "sampler (rank-uniformity over replicate "
+                             "posteriors; exit 0 iff calibrated)")
+    pb.add_argument("--model", default="mm", choices=["mm", "methanation"])
+    pb.add_argument("--replicates", type=int, default=64)
+    pb.add_argument("--particles", type=int, default=512)
+    pb.add_argument("--rank-draws", type=int, default=63,
+                    help="posterior draws ranked per replicate (L)")
+    pb.add_argument("--mh-steps", type=int, default=5)
+    pb.add_argument("--mh-steps-final", type=int, default=20)
+    pb.add_argument("--alpha", type=float, default=1e-3,
+                    help="chi-square rejection level per dimension")
+    pb.add_argument("--seed", type=int, default=0)
+    pb.add_argument("--ranks-csv", default=None,
+                    help="also write the (R, d) rank table to this CSV")
+    pb.set_defaults(fn=cmd_sbc)
 
     pg = sub.add_parser("generate-data",
                         help="write pseudo-data CSVs (mm or methanation)")

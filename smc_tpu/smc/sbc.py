@@ -94,3 +94,63 @@ def rank_chi2_pvalues(ranks: np.ndarray, n_rank_draws: int,
     from scipy.stats import chi2
     stats = rank_chi2(ranks, n_rank_draws, n_bins)
     return chi2.sf(stats, df=n_bins - 1)
+
+
+# ---------------------------------------------------------------------------
+# Canonical SBC problems (shared by the CLI `smc-tpu sbc`, the on-chip
+# recording script benchmarks/sbc_tpu.py, and tests/test_sbc.py — one
+# definition of "calibrate the sampler on this model family").
+# ---------------------------------------------------------------------------
+
+def mm_sbc_problem(method: str = "exact", n_datasets: int = 5):
+    """Michaelis-Menten SBC problem.
+
+    Returns ``(prior, simulate_fn, loglik_fn, param_names)`` for
+    :func:`sbc_ranks`. The simulator uses the closed-form Lambert-W
+    trajectory (identical math to the likelihood), so rank deviations are
+    attributable to the SAMPLER, not forward-model mismatch.
+    """
+    from smc_tpu.models.michaelis_menten import make_mm_data_loglik
+    from smc_tpu.ops.lambertw import lambertw
+    ts = jnp.linspace(0.0, 10.0, 40)
+    s0 = jnp.asarray([2.0, 1.0, 4.0, 0.5, 3.0][:n_datasets], jnp.float32)
+    prior = Prior.uniform([0.5, 0.1, 0.01], [2.0, 1.5, 0.05])
+    loglik = make_mm_data_loglik(ts, s0, method=method)
+
+    def simulate(key, theta):
+        vmax, km, sigma = theta[0], theta[1], theta[2]
+        km_safe = jnp.maximum(km, 1e-8)
+        logz = (jnp.log(s0 / km_safe)[None]
+                + (s0[None] - vmax * ts[:, None]) / km_safe)   # (T, n_ds)
+        S = km_safe * lambertw(jnp.exp(jnp.clip(logz, -60.0, 60.0)))
+        P_true = (s0[None] - S).T                              # (n_ds, T)
+        return P_true + sigma * jax.random.normal(key, P_true.shape)
+
+    return prior, simulate, loglik, ("Vmax", "Km", "sigma")
+
+
+def methanation_sbc_problem(n_conditions: int = 2, nx: int = 11,
+                            n_steps: int = 6, growth: float = 1.6,
+                            particle_chunk: int = 64):
+    """Small methanation SBC problem (flagship DAE family): estimate
+    (Af, sigma) on a coarse reactor grid so replicate posteriors stay cheap
+    enough to batch. Returns ``(prior, simulate_fn, loglik_fn, names)``."""
+    import dataclasses
+
+    from smc_tpu.models.methanation import KIN_TRUE, MethanationModel
+
+    model = MethanationModel.default(
+        n_conditions=n_conditions, nx=nx, n_steps=n_steps, growth=growth,
+        est_idx=(0, 8), particle_chunk=particle_chunk, noise=False)
+    prior = Prior.uniform([8.0, 3.0], [20.0, 8.0])   # Af, sigma
+    kin_rest = jnp.asarray(KIN_TRUE, jnp.float32)
+
+    def simulate(key, theta):
+        kin = kin_rest.at[0].set(theta[0])
+        flows = model.simulate_flows(kin)            # (5, n_cond)
+        return flows + theta[1] * jax.random.normal(key, flows.shape)
+
+    def loglik(theta, obs):
+        return dataclasses.replace(model, obs=obs).log_likelihood(theta)
+
+    return prior, simulate, loglik, ("Af", "sigma")

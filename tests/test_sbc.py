@@ -12,29 +12,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from smc_tpu.config import SMCConfig
-from smc_tpu.priors import Prior
-from smc_tpu.smc.sbc import rank_chi2_pvalues, sbc_ranks
+from smc_tpu.smc.sbc import mm_sbc_problem, rank_chi2_pvalues, sbc_ranks
 
 L = 63  # posterior rank draws per replicate
 
 
 def _mm_setup():
-    from smc_tpu.models.michaelis_menten import make_mm_data_loglik
-    ts = jnp.linspace(0.0, 10.0, 40)
-    s0 = jnp.asarray([2.0, 1.0, 4.0], jnp.float32)
-    prior = Prior.uniform([0.5, 0.1, 0.01], [2.0, 1.5, 0.05])
-    loglik = make_mm_data_loglik(ts, s0, method="exact")
-
-    def simulate(key, theta):
-        vmax, km, sigma = theta[0], theta[1], theta[2]
-        km_safe = jnp.maximum(km, 1e-8)
-        logz = (jnp.log(s0 / km_safe)[None]
-                + (s0[None] - vmax * ts[:, None]) / km_safe)   # (T, n_ds)
-        from smc_tpu.ops.lambertw import lambertw
-        S = km_safe * lambertw(jnp.exp(jnp.clip(logz, -60.0, 60.0)))
-        P_true = (s0[None] - S).T                              # (n_ds, T)
-        return P_true + sigma * jax.random.normal(key, P_true.shape)
-
+    prior, simulate, loglik, _ = mm_sbc_problem(n_datasets=3)
     return prior, simulate, loglik
 
 
@@ -76,25 +60,10 @@ def test_sbc_methanation_small():
     on the mean normalized rank: under calibration it is 0.5 with
     sd = 1/sqrt(12 R); a one-sided-collapsed posterior (the failure mode
     ridge-identifiability arguments worry about) sits near 0 or 1."""
-    import dataclasses
-
-    from smc_tpu.models.methanation import KIN_TRUE, MethanationModel
+    from smc_tpu.smc.sbc import methanation_sbc_problem
 
     R = 12
-    model = MethanationModel.default(
-        n_conditions=2, nx=11, n_steps=6, growth=1.6, est_idx=(0, 8),
-        particle_chunk=64, noise=False)
-    prior = Prior.uniform([8.0, 3.0], [20.0, 8.0])   # Af, sigma
-    kin_rest = jnp.asarray(KIN_TRUE, jnp.float32)
-
-    def simulate(key, theta):
-        kin = kin_rest.at[0].set(theta[0])
-        flows = model.simulate_flows(kin)            # (5, n_cond)
-        return flows + theta[1] * jax.random.normal(key, flows.shape)
-
-    def loglik(theta, obs):
-        return dataclasses.replace(model, obs=obs).log_likelihood(theta)
-
+    prior, simulate, loglik, _ = methanation_sbc_problem()
     cfg = SMCConfig(n_particles=64, mh_steps=3, mh_steps_final=5)
     ranks, _, _ = sbc_ranks(jax.random.key(1), prior, simulate, loglik,
                             n_replicates=R, cfg=cfg, n_rank_draws=L)
