@@ -20,9 +20,16 @@ Launch detached:  setsid python benchmarks/run_methanation_1e6_probe.py \
                       > /tmp/meth_1e6_probe.out 2>&1 < /dev/null &
 """
 import json
+import os
 import time
 
 import jax
+
+if os.environ.get("SMC_PROBE_CPU"):  # tiny-N script-logic smoke (conftest
+    # pattern: env JAX_PLATFORMS is too late, sitecustomize already
+    # registered the TPU plugin — must flip the config post-import)
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from smc_tpu import SMCConfig
@@ -31,13 +38,14 @@ from smc_tpu.smc.driver import (_run_step_by_blocks, init_state,
                                 make_block_step_fns)
 from smc_tpu.utils.compile_cache import enable_persistent_cache
 
-N = 1_000_000
-BLOCK = 100_000
+N = int(os.environ.get("SMC_PROBE_N", 1_000_000))
+BLOCK = int(os.environ.get("SMC_PROBE_BLOCK", 100_000))
+CHUNK = int(os.environ.get("SMC_PROBE_CHUNK", 512))
 
 
 def main():
     enable_persistent_cache()
-    model = MethanationModel.default(n_conditions=30, particle_chunk=512)
+    model = MethanationModel.default(n_conditions=30, particle_chunk=CHUNK)
     cfg = SMCConfig(n_particles=N, block_particles=BLOCK)
 
     t0 = time.perf_counter()

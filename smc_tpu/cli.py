@@ -73,6 +73,12 @@ def _add_common(p):
                         "RAM in one piece)")
     p.add_argument("--profile", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler device trace to LOGDIR")
+    p.add_argument("--max-restarts", type=int, default=0,
+                   help="stall/crash resilience: checkpoint every step to "
+                        "checkpoints/latest and, on a device/runtime "
+                        "failure, reload it and continue; at most this "
+                        "many consecutive no-progress failures are "
+                        "retried (0 = off)")
 
 
 def _build_model(args):
@@ -193,7 +199,8 @@ def _run_inner(args, model, truth, cfg, key):
             true_values=truth, plots_enabled=not args.no_plots,
             verbose=not args.quiet,
             granularity=getattr(args, "granularity", "step"),
-            checkpoint_format=getattr(args, "checkpoint_format", "auto"))
+            checkpoint_format=getattr(args, "checkpoint_format", "auto"),
+            max_restarts=getattr(args, "max_restarts", 0))
         p = np.asarray(final.particles)
 
     print(f"gamma: {float(final.gamma)}  steps: {int(final.step)}  "
@@ -310,9 +317,11 @@ def cmd_sbc(args):
               f"chi2(df7)={stats[j]:.2f}  p={pvals[j]:.3g}")
     calibrated = bool((pvals > args.alpha).all())
     if R < 40:
+        zmax = getattr(args, "z_max", 4.0)
         print(f"  (chi-square is underpowered below ~40 replicates; "
-              f"judge by the mean-rank z-scores)")
-        calibrated = bool((np.abs(z) < 4.0).all())
+              f"exit code uses the mean-rank |z| < {zmax} rule — "
+              f"see --z-max; --alpha has no effect here)")
+        calibrated = bool((np.abs(z) < zmax).all())
     print(f"calibrated: {calibrated}")
     if args.ranks_csv:
         with open(args.ranks_csv, "w") as f:
@@ -438,14 +447,25 @@ def main(argv=None):
                              "sampler (rank-uniformity over replicate "
                              "posteriors; exit 0 iff calibrated)")
     pb.add_argument("--model", default="mm", choices=["mm", "methanation"])
-    pb.add_argument("--replicates", type=int, default=64)
+    pb.add_argument("--replicates", type=int, default=64,
+                    help="SBC replicates R; below 40 the chi-square test "
+                         "is underpowered and the exit code falls back to "
+                         "the mean-rank |z| < --z-max rule (--alpha is "
+                         "then not used)")
     pb.add_argument("--particles", type=int, default=512)
     pb.add_argument("--rank-draws", type=int, default=63,
-                    help="posterior draws ranked per replicate (L)")
+                    help="posterior draws ranked per replicate (L); any "
+                         "value works — bins with unequal integer "
+                         "coverage get per-bin expected counts")
     pb.add_argument("--mh-steps", type=int, default=5)
     pb.add_argument("--mh-steps-final", type=int, default=20)
     pb.add_argument("--alpha", type=float, default=1e-3,
-                    help="chi-square rejection level per dimension")
+                    help="chi-square rejection level per dimension "
+                         "(ignored when --replicates < 40; see "
+                         "--replicates)")
+    pb.add_argument("--z-max", type=float, default=4.0,
+                    help="mean-rank |z| threshold used instead of the "
+                         "chi-square when --replicates < 40")
     pb.add_argument("--seed", type=int, default=0)
     pb.add_argument("--ranks-csv", default=None,
                     help="also write the (R, d) rank table to this CSV")

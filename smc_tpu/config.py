@@ -103,6 +103,17 @@ class SMCConfig:
             if (self.block_particles < 1
                     or self.n_particles % self.block_particles):
                 raise ValueError("block_particles must divide n_particles")
+        if not jnp.issubdtype(jnp.dtype(self.dtype), jnp.floating):
+            raise ValueError(
+                f"dtype must be a floating dtype, got {self.dtype!r}")
+        if jnp.dtype(self.dtype) == jnp.float64:
+            import jax
+            if not jax.config.jax_enable_x64:
+                raise ValueError(
+                    "dtype=float64 requires jax_enable_x64 "
+                    "(jax.config.update('jax_enable_x64', True) before "
+                    "building the config); without it every operation "
+                    "silently truncates to float32")
 
     @property
     def evals_per_sweep(self) -> int:

@@ -156,7 +156,8 @@ def run_with_artifacts(model, cfg: SMCConfig, key,
                        verbose: bool = True,
                        mesh=None,
                        granularity: str = "step",
-                       checkpoint_format: str = "auto"):
+                       checkpoint_format: str = "auto",
+                       max_restarts: int = 0):
     """Full orchestrated run; returns (final_state, rundir).
 
     ``mesh``: optional jax.sharding.Mesh — the particle axis is sharded over
@@ -165,6 +166,13 @@ def run_with_artifacts(model, cfg: SMCConfig, key,
 
     ``granularity``: forwarded to :func:`run_smc` — "sweep" bounds each
     device execution to one mutation sweep (huge-N tunnel survival).
+
+    ``max_restarts`` > 0 makes the run stall/crash-resilient
+    (utils/resilient.run_resilient): every step is checkpointed to
+    ``checkpoints/latest`` and, on a device/runtime failure, the run
+    reloads it and continues — up to ``max_restarts`` consecutive
+    failures without step progress (replaces the reference's Ray memory
+    watchdog, methanation_functions.py:73-78).
 
     On a multi-host pod only the primary host (jax.process_index()==0) owns
     artifact IO: non-primary processes run the same SPMD compute but create
@@ -189,16 +197,31 @@ def run_with_artifacts(model, cfg: SMCConfig, key,
     t0 = time.perf_counter()
     try:
         if resume_from:
-            state = load_state(resume_from)
+            # sharding= puts each device's row slab straight onto its
+            # shard from the checkpoint mmap — no O(N) host staging
+            state = load_state(resume_from, sharding=psharding)
         else:
             state = init_state(key, model, cfg)
         if mesh is not None:
             state = shard_state(state, mesh)
         if mgr is not None:
             mgr.on_init(state)
-        state = run_smc(model, cfg, key, callback=mgr, state=state,
-                        verbose=verbose and primary, psharding=psharding,
-                        granularity=granularity)
+        if max_restarts > 0:
+            import os
+            import tempfile
+            from smc_tpu.utils.resilient import run_resilient
+            ext = ".smcd" if checkpoint_format == "smcd" else ".npz"
+            ckpt = (rd.file("checkpoints", "latest" + ext) if rd is not None
+                    else os.path.join(tempfile.gettempdir(),
+                                      f"smc_latest_{os.getpid()}" + ext))
+            state = run_resilient(
+                model, cfg, key, checkpoint=ckpt, callback=mgr, state=state,
+                max_restarts=max_restarts, verbose=verbose and primary,
+                psharding=psharding, granularity=granularity, resume=False)
+        else:
+            state = run_smc(model, cfg, key, callback=mgr, state=state,
+                            verbose=verbose and primary, psharding=psharding,
+                            granularity=granularity)
         if verbose and primary:
             print(f"end_time:{time.perf_counter() - t0}")
         if mgr is not None:

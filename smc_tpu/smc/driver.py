@@ -117,15 +117,20 @@ def _resample(k_res, g, state: SMCState, cfg: SMCConfig, psharding):
             k_res, g.weights, state.particles, state.log_lik,
             psharding.mesh)
         return pin(parts), pin(lk)
-    if cfg.resampling in ("residual_systematic", "ring"):
+    f32 = (state.particles.dtype == jnp.float32
+           and state.log_lik.dtype == jnp.float32)
+    if cfg.resampling in ("residual_systematic", "ring") and f32:
         # Gather-free path: sorted ancestors let the particle/log-lik copy
         # run as scatter + batched prefix sum (bitwise-equal to the gather;
-        # kernels.residual_systematic_apply).
+        # kernels.residual_systematic_apply). float32-only (the int32
+        # bitcast trick); other dtypes take the equivalent gather below.
         parts, lk = residual_systematic_apply(
             k_res, g.weights, (state.particles, state.log_lik))
         return pin(parts), pin(lk)
-    ancestors = residual_systematic_resample(k_res, g.weights,
-                                             scheme=cfg.resampling)
+    scheme = ("residual_systematic"
+              if cfg.resampling in ("residual_systematic", "ring")
+              else cfg.resampling)
+    ancestors = residual_systematic_resample(k_res, g.weights, scheme=scheme)
     return (pin(jnp.take(state.particles, ancestors, axis=0)),
             pin(jnp.take(state.log_lik, ancestors, axis=0)))
 

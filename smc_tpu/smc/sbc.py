@@ -72,19 +72,37 @@ def sbc_ranks(key: jax.Array, prior: Prior, simulate_fn: SimulateFn,
     return np.asarray(ranks), np.asarray(thetas), states
 
 
+def _bin_expected(n_rank_draws: int, n_bins: int):
+    """(edges, per-bin null probabilities) for binning uniform{0..L}.
+
+    Ranks take the L+1 integer values 0..L. When (L+1) is not divisible by
+    n_bins, equal-width bins hold UNEQUAL numbers of integers, so the null
+    expectation must be per-bin (a flat R/n_bins would bias the statistic
+    and flag valid samplers — e.g. --rank-draws 100 with 8 bins). Bins
+    containing zero integers are dropped (their observed count is
+    structurally 0)."""
+    edges = np.linspace(0, n_rank_draws + 1, n_bins + 1)
+    per_bin, _ = np.histogram(np.arange(n_rank_draws + 1), bins=edges)
+    nz = per_bin > 0
+    probs = per_bin[nz] / (n_rank_draws + 1)
+    return edges, nz, probs
+
+
 def rank_chi2(ranks: np.ndarray, n_rank_draws: int, n_bins: int = 8
               ) -> np.ndarray:
     """Per-dimension chi-square statistic of the SBC rank histogram against
-    uniform{0..L} with ``n_bins`` equal bins; df = n_bins - 1. Under the
-    null each statistic ~ chi2(n_bins - 1)."""
+    uniform{0..L}, with per-bin expected counts from the actual number of
+    integers each bin covers. Under the null each statistic
+    ~ chi2(df) with df = (number of non-empty bins) - 1 (= n_bins - 1
+    whenever n_bins <= L+1)."""
     ranks = np.asarray(ranks)
     R, d = ranks.shape
-    edges = np.linspace(0, n_rank_draws + 1, n_bins + 1)
+    edges, nz, probs = _bin_expected(n_rank_draws, n_bins)
+    expected = R * probs
     stats = np.empty(d)
-    expected = R / n_bins
     for j in range(d):
         counts, _ = np.histogram(ranks[:, j], bins=edges)
-        stats[j] = np.sum((counts - expected) ** 2 / expected)
+        stats[j] = np.sum((counts[nz] - expected) ** 2 / expected)
     return stats
 
 
@@ -93,7 +111,8 @@ def rank_chi2_pvalues(ranks: np.ndarray, n_rank_draws: int,
     """Per-dimension chi-square p-values (requires scipy)."""
     from scipy.stats import chi2
     stats = rank_chi2(ranks, n_rank_draws, n_bins)
-    return chi2.sf(stats, df=n_bins - 1)
+    _, nz, _ = _bin_expected(n_rank_draws, n_bins)
+    return chi2.sf(stats, df=max(int(nz.sum()) - 1, 1))
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,18 @@ def test_cli_run_block_granularity(tmp_path, capsys):
     assert "gamma: 1.0" in capsys.readouterr().out
 
 
+def test_cli_run_max_restarts(tmp_path, capsys):
+    """--max-restarts routes through utils/resilient.run_resilient and
+    leaves a checkpoints/latest.npz for crash resume."""
+    rc = main(["run", "--model", "banana", "--particles", "256",
+               "--max-restarts", "2", "--outdir", str(tmp_path),
+               "--quiet", "--no-plots"])
+    assert rc == 0
+    assert "gamma: 1.0" in capsys.readouterr().out
+    run = tmp_path / os.listdir(tmp_path)[0]
+    assert os.path.exists(run / "checkpoints" / "latest.npz")
+
+
 def test_cli_run_mm_with_artifacts_and_resume(tmp_path, capsys):
     rc = main(["run", "--model", "mm", "--mm-method", "exact",
                "--particles", "128", "--outdir", str(tmp_path), "--quiet"])

@@ -136,3 +136,76 @@ def test_compile_cache_enable(tmp_path, monkeypatch):
     assert jax.config.jax_compilation_cache_dir == target
     monkeypatch.setenv("SMC_TPU_CACHE", "0")
     assert enable_persistent_cache(target) is None
+
+def test_shard_direct_bounded_resume(tmp_path):
+    """load_state(..., sharding=) memory-maps .smcd fields and device_puts
+    each device's row slab directly onto its shard: bitwise state equality
+    with peak host staging O(shard), not O(N) (round-3 verdict item 4 —
+    resuming states the ring resampler/.smcd writer are built for must not
+    materialize the full particle array on host)."""
+    import tracemalloc
+    import jax.numpy as jnp
+    from smc_tpu.io.checkpoint import save_state_chunked
+    from smc_tpu.parallel.mesh import make_mesh, particle_sharding
+    from smc_tpu.smc.state import SMCState
+
+    N, d = 1 << 17, 8  # 4 MiB of particles over 8 virtual devices
+    rng = np.random.default_rng(0)
+    parts = rng.standard_normal((N, d)).astype(np.float32)
+    lk = rng.standard_normal((N,)).astype(np.float32)
+    zf, zi = jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)
+    state = SMCState(
+        particles=jnp.asarray(parts), log_lik=jnp.asarray(lk),
+        gamma=jnp.asarray(0.25), key=jax.random.key(7), step=zi + 3,
+        ess=zf + 0.6, max_log_lik=jnp.asarray(float(lk.max())), n_mh=zi,
+        accepted=zi, n_gamma_reductions=zi, mh_ratio=zf + 1.0,
+        total_lik_evals=zf + float(N), log_evidence=zf - 2.5)
+    path = save_state_chunked(str(tmp_path / "big"), state)
+
+    mesh = make_mesh()
+    psh = particle_sharding(mesh)
+    full_bytes = N * d * 4
+    tracemalloc.start()
+    st = load_state(path, sharding=psh)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+
+    np.testing.assert_array_equal(np.asarray(st.particles), parts)
+    np.testing.assert_array_equal(np.asarray(st.log_lik), lk)
+    assert st.particles.sharding.is_equivalent_to(psh, 2)
+    assert float(st.gamma) == 0.25 and int(st.step) == 3
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(st.key)),
+        np.asarray(jax.random.key_data(state.key)))
+    # host staging stayed per-slab: well under one full particles copy
+    # (each shard slab is full_bytes/8; allow a couple of slabs + noise)
+    assert peak < full_bytes // 2, (peak, full_bytes)
+
+    # .npz path accepts sharding= too (host-materialized, then placed)
+    from smc_tpu.io.checkpoint import save_state
+    p2 = str(tmp_path / "small.npz")
+    save_state(p2, state)
+    st2 = load_state(p2, sharding=psh)
+    assert st2.particles.sharding.is_equivalent_to(psh, 2)
+    np.testing.assert_array_equal(np.asarray(st2.particles), parts)
+
+
+def test_single_device_slabbed_smcd_load(tmp_path):
+    """Without sharding=, .smcd loads transfer in bounded row slabs and
+    concatenate on device — host peak stays O(slab)."""
+    import tracemalloc
+    import jax.numpy as jnp
+    from smc_tpu.io.checkpoint import (_put_slabbed_from_memmap,
+                                       save_state_chunked)
+
+    N, d = 1 << 16, 8
+    arr = np.arange(N * d, dtype=np.float32).reshape(N, d)
+    p = str(tmp_path / "a.npy")
+    np.save(p, arr)
+    mm = np.load(p, mmap_mode="r")
+    tracemalloc.start()
+    out = _put_slabbed_from_memmap(mm, max_bytes=arr.nbytes // 16)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    np.testing.assert_array_equal(np.asarray(out), arr)
+    assert peak < arr.nbytes // 2, (peak, arr.nbytes)

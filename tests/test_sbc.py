@@ -71,3 +71,31 @@ def test_sbc_methanation_small():
     sd = 1.0 / np.sqrt(12.0 * R)
     assert (np.abs(mean_norm - 0.5) < 4.0 * sd).all(), \
         f"mean normalized ranks {mean_norm} outside 0.5 +/- {4 * sd:.3f}"
+
+
+def test_rank_chi2_unequal_integer_bins():
+    """(L+1) not divisible by n_bins: per-bin expected counts must follow
+    the actual number of integers each bin covers (ADVICE r3: a flat
+    R/n_bins expectation biases the statistic for e.g. --rank-draws 100
+    and can fail a perfectly calibrated sampler)."""
+    from smc_tpu.smc.sbc import rank_chi2
+    L, reps = 100, 4  # 101 rank values over 8 bins: 12/13/12/13/...
+    exact_uniform = np.tile(np.arange(L + 1), reps)[:, None]
+    stats = rank_chi2(exact_uniform, L, n_bins=8)
+    # exactly proportional counts -> statistic exactly 0 under the
+    # corrected expectation (the old flat expectation gives ~1.9)
+    assert stats[0] < 1e-12
+
+    # equal-coverage case unchanged: 64 values over 8 bins of 8
+    L2 = 63
+    stats2 = rank_chi2(np.tile(np.arange(L2 + 1), reps)[:, None], L2)
+    assert stats2[0] < 1e-12
+
+
+def test_rank_chi2_pvalues_df_tracks_nonempty_bins():
+    from smc_tpu.smc.sbc import rank_chi2_pvalues
+    rng = np.random.default_rng(0)
+    ranks = rng.integers(0, 4, size=(400, 1))  # L=3: only 4 rank values
+    # 8 requested bins but only 4 can be non-empty -> df=3, p well-defined
+    p = rank_chi2_pvalues(ranks, 3, n_bins=8)
+    assert 0.0 <= p[0] <= 1.0
