@@ -60,7 +60,18 @@ def worker() -> None:
     from smc_tpu.utils.resilient import run_resilient
 
     enable_persistent_cache()
-    model = MethanationModel.default(n_conditions=30, particle_chunk=CHUNK)
+    # Linear solver is re-read at every worker (re)start from a control
+    # file, so an improved engine can be deployed mid-run on the next
+    # supervisor restart without touching the running process (the SMC
+    # state is solver-agnostic: a checkpoint resumes under any engine).
+    solver = "auto"
+    try:
+        solver = open(f"/tmp/{TAG}_solver.txt").read().strip() or "auto"
+    except OSError:
+        pass
+    print(f"worker start: solver={solver}", flush=True)
+    model = MethanationModel.default(n_conditions=30, particle_chunk=CHUNK,
+                                     solver=solver)
     cfg = SMCConfig(n_particles=N, block_particles=BLOCK,
                     max_steps=int(os.environ.get("SMC_1E6_MAX_STEPS", 50)))
 

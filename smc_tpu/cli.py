@@ -294,15 +294,25 @@ def cmd_sbc(args):
     if args.model == "mm":
         prior, simulate, loglik, names = mm_sbc_problem()
     else:
+        full = getattr(args, "est", "af-sigma") == "full"
+        from smc_tpu.models.methanation import EST_DEFAULT
         prior, simulate, loglik, names = methanation_sbc_problem(
-            particle_chunk=min(64, args.particles))
+            n_conditions=getattr(args, "conditions", 2),
+            nx=getattr(args, "nx", 11),
+            n_steps=None if full else 6, growth=None if full else 1.6,
+            particle_chunk=min(getattr(args, "chunk", 64), args.particles),
+            est_idx=EST_DEFAULT if full else (0, 8),
+            reference_prior=full)
     if args.rank_draws >= args.particles:
         raise SystemExit("--rank-draws must be < --particles")
     cfg = SMCConfig(n_particles=args.particles, mh_steps=args.mh_steps,
                     mh_steps_final=args.mh_steps_final)
     ranks, _, _ = sbc_ranks(jax.random.key(args.seed), prior, simulate,
                             loglik, n_replicates=args.replicates, cfg=cfg,
-                            n_rank_draws=args.rank_draws)
+                            n_rank_draws=args.rank_draws,
+                            granularity=getattr(args, "granularity",
+                                                "fused"),
+                            verbose=not getattr(args, "quiet", False))
     R, L = args.replicates, args.rank_draws
     stats = rank_chi2(ranks, L)
     pvals = rank_chi2_pvalues(ranks, L)
@@ -469,6 +479,28 @@ def main(argv=None):
     pb.add_argument("--seed", type=int, default=0)
     pb.add_argument("--ranks-csv", default=None,
                     help="also write the (R, d) rank table to this CSV")
+    pb.add_argument("--conditions", type=int, default=2,
+                    help="methanation: experimental conditions")
+    pb.add_argument("--nx", type=int, default=11,
+                    help="methanation: reactor grid points (51 = the "
+                         "reference's full grid)")
+    pb.add_argument("--est", default="af-sigma",
+                    choices=["af-sigma", "full"],
+                    help="methanation estimated subset: 'af-sigma' = the "
+                         "cheap 2-parameter suite config; 'full' = the "
+                         "default 5-parameter set (Af, Eaf, Ar, Ear, "
+                         "sigma) under the reference's prior bounds — "
+                         "puts the Ar/Ear ridge inside the calibration "
+                         "test")
+    pb.add_argument("--chunk", type=int, default=64,
+                    help="methanation: particle dispatch width")
+    pb.add_argument("--granularity", default="fused",
+                    choices=["fused", "sweep"],
+                    help="'fused' = all replicates in one device program; "
+                         "'sweep' bounds each device execution to one "
+                         "ensemble mutation sweep (needed on the "
+                         "single-chip tunnel for large R x N)")
+    pb.add_argument("--quiet", action="store_true")
     pb.set_defaults(fn=cmd_sbc)
 
     pg = sub.add_parser("generate-data",

@@ -849,7 +849,10 @@ class MethanationModel:
     # ops.dae_fast.resolve_solver); "cr" = log-depth block cyclic
     # reduction (same factors reused across modified-Newton/lag
     # iterations; ~2-3x the block FLOPs for ~8x fewer sequential stages —
-    # see docs/PERF.md).
+    # see docs/PERF.md); "babe" = twisted/burn-at-both-ends block-Thomas
+    # (both chain halves advance in one lane-stacked scan: half the
+    # serial depth at equal FLOPs; requires odd NX —
+    # ops.dae_fast.block_thomas_babe_factor).
     solver: str = "auto"
     # Particles are processed in chunks of (chunk x n_data) simultaneous DAE
     # systems (lax.map over chunks): bounds the live Jacobian working set

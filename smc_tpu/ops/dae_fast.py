@@ -378,6 +378,131 @@ def block_thomas_apply(LUs, ms, C, rhs):
     return jnp.concatenate([xs, xn[None]], axis=0)
 
 
+def block_thomas_babe_factor(A, B, C):
+    """Twisted ("burn-at-both-ends") block-Thomas factorization.
+
+    The standard factor sweep is an NX-deep serial chain; PERF.md measures
+    the march as bound by fixed per-scan-iteration costs, so chain DEPTH —
+    not FLOPs — is the binding constraint. BABE eliminates from BOTH ends
+    simultaneously, the two recurrences meeting at row k = NX//2: each
+    scan iteration processes one top row and one bottom row as a single
+    lane-stacked (7,7,2B) block op (the identical algebra with A and C
+    roles swapped for the upward direction), halving the serial depth at
+    equal total FLOPs and doubling the lane width per iteration.
+
+    Head blocks are solved with full partial pivoting (``solve7``): the
+    raw boundary blocks need it — the outlet BC rows make B[NX-1] a
+    row-permuted identity whose no-pivot LU divides by zero (the forward
+    Thomas sweep only ever factors Schur-updated blocks, which is why the
+    classic direction never notices). The interior Schur complements of
+    BOTH chains are no-pivot safe (measured on the flagship blocks:
+    every leading principal minor well-conditioned), so the scans keep
+    the cheap unrolled no-pivot LU.
+
+    Requires NX odd (the flagship grid is NX=51,
+    methanation_set_conditon.py:17) so the two chains are equal length.
+    Returns an opaque factor pytree for ``block_thomas_babe_apply``;
+    reusable across right-hand sides (modified-Newton factor lag).
+    """
+    nx = A.shape[0]
+    if nx % 2 == 0:
+        raise ValueError(f"babe solver requires odd NX, got {nx}")
+    k = nx // 2
+    cat = lambda t, b: jnp.concatenate([t, b], axis=-1)  # noqa: E731
+    swapT = lambda M: jnp.swapaxes(M, 0, 1)              # noqa: E731
+
+    # peeled head eliminations (pivoted): m_1 = A_1 B0^{-1},
+    # w_{nx-2} = C_{nx-2} B_{nx-1}^{-1}, via the transpose systems
+    m1 = swapT(solve7(swapT(B[0]), swapT(A[1]), pivot=True))
+    w1 = swapT(solve7(swapT(B[-1]), swapT(C[nx - 2]), pivot=True))
+    m_head = cat(m1, w1)
+    Bp1 = B[1] - _matmul_bl(m1, C[0])
+    Bq1 = B[nx - 2] - _matmul_bl(w1, A[nx - 1])
+    LU_init = _lu_f(cat(Bp1, Bq1))
+
+    # stacked interior: top rows 2..k-1 | bottom rows nx-3..k+1
+    X = cat(A[2:k], C[nx - 3:k:-1])
+    Bs = cat(B[2:k], B[nx - 3:k:-1])
+    Y = cat(C[1:k - 1], A[nx - 2:k + 1:-1])
+
+    def fwd(LU_prev, inp):
+        Xi, Bi, Yi = inp
+        m = swapT(_lu_sT(LU_prev, swapT(Xi)))
+        Bp = Bi - _matmul_bl(m, Yi)
+        LU = _lu_f(Bp)
+        return LU, (LU, m)
+
+    LU_last, (LUs, ms) = lax.scan(fwd, LU_init, (X, Bs, Y),
+                                  unroll=_NX_UNROLL)
+    # rows 1..k-1 | nx-2..k+1
+    LU_all = jnp.concatenate([LU_init[None], LUs], axis=0)
+
+    # meeting-row epilogue: both chains eliminate into row k
+    bsz = A.shape[-1]
+    mk = swapT(_lu_sT(LU_last, swapT(cat(A[k], C[k]))))      # m_k | w_k
+    corr = _matmul_bl(mk, cat(C[k - 1], A[k + 1]))
+    LUk = _lu_f(B[k] - corr[:, :, :bsz] - corr[:, :, bsz:])
+
+    # back-substitution couplings: interior C_{k-1}..C_1 | A_{k+1}..A_{nx-2}
+    G = cat(jnp.flip(C[1:k], axis=0), A[k + 1:nx - 1])
+    # heads for the peeled final step (pivoted solve at apply time)
+    heads = (B[0], B[-1], C[0], A[-1])
+    return LU_all, ms, m_head, mk, LUk, G, heads
+
+
+def block_thomas_babe_apply(fac, rhs):
+    """Solve with stored BABE factors: both forward rhs sweeps run as one
+    half-depth lane-stacked scan, then the meeting-row solve, then both
+    outward back-substitutions as one more half-depth scan (pivoted
+    peeled steps at the two boundary rows). Results match
+    ``block_thomas_apply`` to fp32 reassociation."""
+    LU_all, ms, m_head, mk, LUk, G, heads = fac
+    B0, Bn, C0, An = heads
+    nx = rhs.shape[0]
+    k = nx // 2
+    bsz = rhs.shape[-1]
+    cat = lambda t, b: jnp.concatenate([t, b], axis=-1)  # noqa: E731
+
+    # peeled head step of the forward sweeps
+    r_head = cat(rhs[0], rhs[-1])                        # r_0 | r_{nx-1}
+    rp1 = cat(rhs[1], rhs[nx - 2]) - _matvec_bl(m_head, r_head)
+    r_stack = cat(rhs[2:k], rhs[nx - 3:k:-1])
+
+    def fwd(rp_prev, inp):
+        mi, ri = inp
+        rp = ri - _matvec_bl(mi, rp_prev)
+        return rp, rp
+
+    rp_last, rps = lax.scan(fwd, rp1, (ms, r_stack), unroll=_NX_UNROLL)
+    # rows 1..k-1 | nx-2..k+1
+    rps_all = jnp.concatenate([rp1[None], rps], axis=0)
+
+    corr = _matvec_bl(mk, rp_last)
+    rk = rhs[k] - corr[:, :bsz] - corr[:, bsz:]
+    xk = _lu_s(LUk, rk[:, None, :])[:, 0, :]
+
+    def bwd(x_prev, inp):
+        LUt, rpt, Gt = inp
+        x = _lu_s(LUt, (rpt - _matvec_bl(Gt, x_prev))[:, None, :])[:, 0, :]
+        return x, x
+
+    x_last, xs = lax.scan(bwd, cat(xk, xk),
+                          (LU_all[::-1], rps_all[::-1], G),
+                          unroll=_NX_UNROLL)
+    # xs[t] = x_{k-1-t} | x_{k+1+t}, covering rows k-1..1 | k+1..nx-2
+    # peeled boundary rows (pivoted): x_0 and x_{nx-1}
+    x1 = x_last[:, :bsz]                                 # x_1
+    xm = x_last[:, bsz:]                                 # x_{nx-2}
+    x0 = solve7(B0, (rhs[0] - _matvec_bl(C0, x1))[:, None, :],
+                pivot=True)[:, 0, :]
+    xn = solve7(Bn, (rhs[-1] - _matvec_bl(An, xm))[:, None, :],
+                pivot=True)[:, 0, :]
+    x_top = jnp.flip(xs[:, :, :bsz], axis=0)             # x_1..x_{k-1}
+    x_bot = xs[:, :, bsz:]                               # x_{k+1}..x_{nx-2}
+    return jnp.concatenate([x0[None], x_top, xk[None], x_bot, xn[None]],
+                           axis=0)
+
+
 def _matmul_bl(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(n,m,B) @ (m,k,B) -> (n,k,B): contraction over the small middle dim,
     batch broadcast on lanes (fused multiply-reduce, no dot_general)."""
@@ -637,6 +762,8 @@ def _newton_kit(rows_bl: Callable, y0: jnp.ndarray, pivot: bool,
         # via fused value slices.
         if solver == "cr":
             return block_cr_factor(A_, B_, C_)
+        if solver == "babe":
+            return block_thomas_babe_factor(A_, B_, C_)
         if solver == "thomas_pl":
             from smc_tpu.ops.thomas_pallas import block_thomas_factor_pl
             return block_thomas_factor_pl(A_, B_, C_)
@@ -646,6 +773,8 @@ def _newton_kit(rows_bl: Callable, y0: jnp.ndarray, pivot: bool,
     def apply_(fac, rhs):
         if solver == "cr":
             delta = block_cr_apply(fac, rhs)
+        elif solver == "babe":
+            delta = block_thomas_babe_apply(fac, rhs)
         else:
             LUs, ms, C_ = fac
             delta = block_thomas_apply(LUs, ms, C_, rhs)
@@ -653,7 +782,7 @@ def _newton_kit(rows_bl: Callable, y0: jnp.ndarray, pivot: bool,
 
     def factor_apply_(A_, B_, C_, rhs):
         """Factor + first solve; fused forward sweep on the Thomas path."""
-        if solver == "cr" or not _FUSED_FACTOR:
+        if solver in ("cr", "babe") or not _FUSED_FACTOR:
             fac = factor_(A_, B_, C_)
             return fac, apply_(fac, rhs)
         (LUs, ms), delta = block_thomas_factor_apply(A_, B_, C_, rhs)

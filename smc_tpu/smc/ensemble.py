@@ -115,6 +115,135 @@ def make_ensemble_run(prior: Prior, loglik_fn: DataLogLik, n_datasets: int,
     return _run
 
 
+def make_ensemble_sweep_fns(prior: Prior, loglik_fn: DataLogLik,
+                            n_datasets: int, cfg: SMCConfig):
+    """Sweep-granularity ensemble execution: like
+    ``driver.make_sweep_step_fns`` but vmapped over the dataset axis, so
+    no single device execution exceeds ONE mutation sweep of the whole
+    ensemble (D x N likelihood rows). Required on the tunneled single
+    chip whenever the fused whole-ensemble program
+    (:func:`make_ensemble_run`) would run longer than the worker's ~100 s
+    execution ceiling — e.g. a 128-replicate x 512-particle methanation
+    SBC, whose fused run is tens of minutes of device time.
+
+    Returns ``(einit, prep, mut_init, mut_sweep, finish)``:
+
+    - ``einit(key, data) -> states`` — stacked prior draw + initial
+      likelihood sweep (one bounded execution).
+    - ``prep(states) -> (key, k_mh, g, parts, lk)`` — per-dataset gamma
+      search + resampling; zero likelihood evals. Each returned leaf has
+      leading axis D.
+    - ``mut_init(k_mh, parts, lk, data) -> carry`` — vmapped
+      mutation-loop init (zero evals for rwm).
+    - ``mut_sweep(carry, gamma, data, active) -> carry`` — ONE sweep for
+      every dataset; datasets with ``active[d] == False`` keep their old
+      carry (their lanes still trace — the SPMD price, same as the fused
+      ensemble's freeze mask).
+    - ``finish(states, key, g, carry) -> states`` — fold results;
+      populations already at gamma >= 1 before the step are frozen
+      whole-state (key included), exactly like the fused body's
+      where-mask.
+
+    Same math and PRNG stream as :func:`make_ensemble_run` by
+    construction (both vmap the same kernels.make_mutation_sweeper body).
+    """
+    from smc_tpu.smc.driver import _advance, _resample
+    from smc_tpu.smc.kernels import (MutationResult, find_gamma,
+                                     make_mutation_sweeper)
+
+    def _sweeper_for(data_d):
+        return make_mutation_sweeper(
+            cfg.mutation, lambda th: loglik_fn(th, data_d), prior, cfg)
+
+    @jax.jit
+    def einit(key, data):
+        return init_ensemble(key, prior, loglik_fn, data, n_datasets, cfg)
+
+    def prep_one(state: SMCState):
+        key, k_res, k_mh = jax.random.split(state.key, 3)
+        g = find_gamma(state.log_lik, state.gamma, cfg)
+        parts, lk = _resample(k_res, g, state, cfg, None)
+        return key, k_mh, g, parts, lk
+
+    @jax.jit
+    def prep(states: SMCState):
+        return jax.vmap(prep_one)(states)
+
+    def mut_init_one(k_mh, parts, lk, data_d):
+        init_fn, _ = _sweeper_for(data_d)
+        return init_fn(k_mh, parts, lk)
+
+    def mut_sweep_one(c, gamma, data_d, active):
+        _, sweep_fn = _sweeper_for(data_d)
+        new = sweep_fn(c, gamma)
+
+        def sel(o, n):  # this dataset's scalar active flag, broadcast
+            mask = active.reshape((1,) * o.ndim) if o.ndim else active
+            return jnp.where(mask, n, o)
+
+        return jax.tree_util.tree_map(sel, c, new)
+
+    mut_init = jax.jit(jax.vmap(mut_init_one))
+    mut_sweep = jax.jit(jax.vmap(mut_sweep_one))
+
+    def fin_one(state, key, g, c):
+        m = MutationResult(c.particles, c.log_lik, c.j, jnp.sum(c.r_ac),
+                           c.mh_ratio)
+        return _advance(state, key, g, m, cfg, None)
+
+    @jax.jit
+    def finish(states: SMCState, key, g, c) -> SMCState:
+        new = jax.vmap(fin_one)(states, key, g, c)
+        done = states.gamma >= 1.0
+
+        def sel(old, new_):
+            mask = done.reshape((-1,) + (1,) * (old.ndim - 1))
+            return jnp.where(mask, old, new_)
+
+        return jax.tree_util.tree_map(sel, states, new)
+
+    return einit, prep, mut_init, mut_sweep, finish
+
+
+def run_ensemble_sweeps(key: jax.Array, prior: Prior,
+                        loglik_fn: DataLogLik, data, n_datasets: int,
+                        cfg: SMCConfig, verbose: bool = False,
+                        callback=None, states: SMCState = None) -> SMCState:
+    """Host-observed ensemble run with every device execution bounded to
+    at most one mutation sweep of the ensemble (see
+    :func:`make_ensemble_sweep_fns`). ``callback(states)`` fires after
+    every ensemble step (checkpointing hook for long on-chip SBC runs);
+    pass ``states`` to resume."""
+    import numpy as np
+
+    einit, prep, mut_init, mut_sweep, finish = make_ensemble_sweep_fns(
+        prior, loglik_fn, n_datasets, cfg)
+    if states is None:
+        states = einit(key, data)
+    while bool(jnp.any((states.gamma < 1.0)
+                       & (states.step < cfg.max_steps))):
+        key_n, k_mh, g, parts, lk = prep(states)
+        n_mh_d = np.where(np.asarray(g.gamma) >= 1.0, cfg.mh_steps_final,
+                          cfg.mh_steps)
+        frozen = np.asarray(states.gamma) >= 1.0
+        c = mut_init(k_mh, parts, lk, data)
+        while True:
+            active = (~np.asarray(c.done) & (np.asarray(c.j) < n_mh_d)
+                      & ~frozen)
+            if not active.any():
+                break
+            c = mut_sweep(c, g.gamma, data, jnp.asarray(active))
+        states = finish(states, key_n, g, c)
+        if verbose:
+            ng = np.asarray(states.gamma)
+            print(f"ensemble step: {int(np.asarray(states.step).max())}  "
+                  f"gamma<1: {int((ng < 1.0).sum())}/{n_datasets}  "
+                  f"min gamma: {float(ng.min()):.6f}", flush=True)
+        if callback is not None:
+            callback(states)
+    return states
+
+
 def run_ensemble_on_device(key: jax.Array, prior: Prior,
                            loglik_fn: DataLogLik, data, n_datasets: int,
                            cfg: SMCConfig, mesh=None) -> SMCState:

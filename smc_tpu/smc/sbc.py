@@ -37,7 +37,8 @@ SimulateFn = Callable[[jax.Array, jnp.ndarray], object]
 
 def sbc_ranks(key: jax.Array, prior: Prior, simulate_fn: SimulateFn,
               loglik_fn, n_replicates: int, cfg: SMCConfig,
-              n_rank_draws: int = 127, mesh=None
+              n_rank_draws: int = 127, mesh=None,
+              granularity: str = "fused", verbose: bool = False
               ) -> Tuple[np.ndarray, np.ndarray, object]:
     """Run R replicate prior-draw -> simulate -> posterior cycles and return
     (ranks (R, d) int in [0, L], truths (R, d), final ensemble state).
@@ -46,16 +47,30 @@ def sbc_ranks(key: jax.Array, prior: Prior, simulate_fn: SimulateFn,
     likelihood; ``simulate_fn`` generates one replicate's data from one
     prior draw. L = ``n_rank_draws`` posterior draws are subsampled without
     replacement from each replicate's N final particles.
+
+    ``granularity``: "fused" runs all R posteriors in one device program;
+    "sweep" bounds each device execution to <= one ensemble mutation sweep
+    (ensemble.run_ensemble_sweeps) — required on the tunneled single chip
+    when the fused program would exceed the ~100 s execution ceiling
+    (e.g. the 128x512 methanation SBC).
     """
     if n_rank_draws >= cfg.n_particles:
         raise ValueError("n_rank_draws must be < n_particles (thinning)")
+    if granularity not in ("fused", "sweep"):
+        raise ValueError(f"unknown granularity {granularity!r}")
     k_theta, k_sim, k_run, k_sub = jax.random.split(key, 4)
     thetas = prior.sample(k_theta, n_replicates, dtype=cfg.dtype)  # (R, d)
     data = jax.vmap(simulate_fn)(jax.random.split(k_sim, n_replicates),
                                  thetas)
 
-    run = make_ensemble_run(prior, loglik_fn, n_replicates, cfg, mesh=mesh)
-    states = run(k_run, data)
+    if granularity == "sweep":
+        from smc_tpu.smc.ensemble import run_ensemble_sweeps
+        states = run_ensemble_sweeps(k_run, prior, loglik_fn, data,
+                                     n_replicates, cfg, verbose=verbose)
+    else:
+        run = make_ensemble_run(prior, loglik_fn, n_replicates, cfg,
+                                mesh=mesh)
+        states = run(k_run, data)
     if not bool(jnp.all(states.gamma >= 1.0)):
         raise RuntimeError(
             f"SBC: {int(jnp.sum(states.gamma < 1.0))}/{n_replicates} "
@@ -150,26 +165,56 @@ def mm_sbc_problem(method: str = "exact", n_datasets: int = 5):
 
 def methanation_sbc_problem(n_conditions: int = 2, nx: int = 11,
                             n_steps: int = 6, growth: float = 1.6,
-                            particle_chunk: int = 64):
-    """Small methanation SBC problem (flagship DAE family): estimate
-    (Af, sigma) on a coarse reactor grid so replicate posteriors stay cheap
-    enough to batch. Returns ``(prior, simulate_fn, loglik_fn, names)``."""
+                            particle_chunk: int = 64, est_idx=(0, 8),
+                            reference_prior: bool = False):
+    """Methanation SBC problem (flagship DAE family).
+
+    Defaults give the cheap suite configuration: estimate (Af, sigma) on a
+    coarse reactor grid with a narrow uniform prior. The POWERED
+    configuration (round-3 verdict item 3) passes ``est_idx`` =
+    models.methanation.EST_DEFAULT (Af, Eaf, Ar, Ear, sigma — putting the
+    Ar/Ear ridge INSIDE the calibration test), ``nx=51`` and
+    ``reference_prior=True`` (the reference's use_params +- use_params*k
+    bounds, methanation_set_conditon.py:61-70). Returns
+    ``(prior, simulate_fn, loglik_fn, names)``.
+    """
     import dataclasses
 
-    from smc_tpu.models.methanation import KIN_TRUE, MethanationModel
+    from smc_tpu.models.methanation import (KIN_TRUE, SIGMA_TRUE,
+                                            MethanationModel,
+                                            methanation_prior)
 
+    est_idx = tuple(est_idx)
+    kw = {}
+    if n_steps is not None:
+        kw["n_steps"] = n_steps
+    if growth is not None:
+        kw["growth"] = growth
     model = MethanationModel.default(
-        n_conditions=n_conditions, nx=nx, n_steps=n_steps, growth=growth,
-        est_idx=(0, 8), particle_chunk=particle_chunk, noise=False)
-    prior = Prior.uniform([8.0, 3.0], [20.0, 8.0])   # Af, sigma
+        n_conditions=n_conditions, nx=nx, est_idx=est_idx,
+        particle_chunk=particle_chunk, noise=False, **kw)
+    if reference_prior:
+        prior = methanation_prior(est_idx)
+    else:
+        if est_idx != (0, 8):
+            raise ValueError("narrow default prior only covers (Af, sigma);"
+                             " pass reference_prior=True for other subsets")
+        prior = Prior.uniform([8.0, 3.0], [20.0, 8.0])   # Af, sigma
     kin_rest = jnp.asarray(KIN_TRUE, jnp.float32)
+    names = tuple(model.param_names)
 
     def simulate(key, theta):
-        kin = kin_rest.at[0].set(theta[0])
+        kin = kin_rest
+        sigma = jnp.asarray(SIGMA_TRUE, jnp.float32)
+        for j, i in enumerate(est_idx):
+            if i == 8:
+                sigma = theta[j]
+            else:
+                kin = kin.at[i].set(theta[j])
         flows = model.simulate_flows(kin)            # (5, n_cond)
-        return flows + theta[1] * jax.random.normal(key, flows.shape)
+        return flows + sigma * jax.random.normal(key, flows.shape)
 
     def loglik(theta, obs):
         return dataclasses.replace(model, obs=obs).log_likelihood(theta)
 
-    return prior, simulate, loglik, ("Af", "sigma")
+    return prior, simulate, loglik, names

@@ -61,3 +61,80 @@ def test_hierarchical_mm_ensemble():
     assert (np.abs(means[:, 1] - 0.5) < 0.2).all()
     # steps differ per dataset (independent schedules) or at least all ran
     assert (np.asarray(states.step) >= 3).all()
+
+
+def test_ensemble_sweep_granularity_matches_fused():
+    """run_ensemble_sweeps bounds every device execution to <= one
+    ensemble sweep yet reproduces the fused whole-ensemble program
+    (same vmapped sweep body + PRNG stream; RWM compiles to the same
+    math, so parity here is bitwise-or-statistical: we assert gamma
+    trajectories identical and posterior moments within MC tolerance)."""
+    from smc_tpu.smc.ensemble import run_ensemble_sweeps
+
+    ts, obs0, s0 = generate_mm_pseudo_data()
+    d_sets = 3
+    keys = jax.random.split(jax.random.key(11), d_sets)
+    obs = jnp.stack([jnp.asarray(obs0) +
+                     0.02 * jax.random.normal(k, obs0.shape) for k in keys])
+    loglik = make_mm_data_loglik(jnp.asarray(ts), jnp.asarray(s0))
+    prior = Prior.uniform([0.0, 0.0, 0.0], [10.0, 10.0, 10.0])
+    cfg = SMCConfig(n_particles=256)
+
+    fused = run_ensemble_on_device(jax.random.key(0), prior, loglik, obs,
+                                   d_sets, cfg)
+    swept = run_ensemble_sweeps(jax.random.key(0), prior, loglik, obs,
+                                d_sets, cfg)
+    assert (np.asarray(swept.gamma) == 1.0).all()
+    # identical tempering schedules: same per-dataset step counts
+    np.testing.assert_array_equal(np.asarray(swept.step),
+                                  np.asarray(fused.step))
+    np.testing.assert_array_equal(np.asarray(swept.n_gamma_reductions),
+                                  np.asarray(fused.n_gamma_reductions))
+    p1 = np.asarray(fused.particles)   # (D, N, 3)
+    p2 = np.asarray(swept.particles)
+    np.testing.assert_allclose(
+        p1.mean(axis=1), p2.mean(axis=1),
+        atol=4 * float(p1.std(axis=1).max()) / np.sqrt(256))
+    # per-population truth recovery survives the granularity change
+    means = p2.mean(axis=1)
+    assert (np.abs(means[:, 0] - 1.2) < 0.2).all()
+    assert (np.abs(means[:, 1] - 0.5) < 0.2).all()
+
+
+def test_ensemble_sweeps_freezes_finished_populations():
+    """A population that reaches gamma=1 early must be bitwise frozen
+    (key included) while slower populations keep stepping — the fused
+    body's where-mask semantics."""
+    from smc_tpu.smc.ensemble import run_ensemble_sweeps
+
+    ts, obs0, s0 = generate_mm_pseudo_data()
+    loglik = make_mm_data_loglik(jnp.asarray(ts), jnp.asarray(s0))
+    prior = Prior.uniform([0.0, 0.0, 0.0], [10.0, 10.0, 10.0])
+    # dataset 0: tiny noise (slow tempering); dataset 1: huge noise scale
+    # (flat likelihood -> finishes in very few steps)
+    obs = jnp.stack([jnp.asarray(obs0),
+                     jnp.asarray(obs0) * 0.0 + obs0.mean()])
+    cfg = SMCConfig(n_particles=128)
+    snaps = []
+
+    def snap(s):
+        snaps.append({"gamma": np.asarray(s.gamma),
+                      "particles": np.asarray(s.particles),
+                      "key": np.asarray(jax.random.key_data(s.key))})
+
+    states = run_ensemble_sweeps(jax.random.key(3), prior, loglik, obs, 2,
+                                 cfg, callback=snap)
+    assert (np.asarray(states.gamma) == 1.0).all()
+    steps = np.asarray(states.step)
+    if steps[0] == steps[1]:  # need a straggler for the freeze assertion
+        return
+    fast = int(np.argmin(steps))
+    # find the first snapshot where `fast` finished; every later snapshot
+    # must carry its state unchanged
+    fin = [i for i, s in enumerate(snaps) if s["gamma"][fast] >= 1.0]
+    first = fin[0]
+    for later in fin[1:]:
+        np.testing.assert_array_equal(
+            snaps[later]["particles"][fast], snaps[first]["particles"][fast])
+        np.testing.assert_array_equal(snaps[later]["key"][fast],
+                                      snaps[first]["key"][fast])
