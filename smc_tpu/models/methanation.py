@@ -851,8 +851,9 @@ class MethanationModel:
     # iterations; ~2-3x the block FLOPs for ~8x fewer sequential stages —
     # see docs/PERF.md); "babe" = twisted/burn-at-both-ends block-Thomas
     # (both chain halves advance in one lane-stacked scan: half the
-    # serial depth at equal FLOPs; requires odd NX —
-    # ops.dae_fast.block_thomas_babe_factor).
+    # serial depth at equal FLOPs; requires odd NX — measured 27-34%
+    # SLOWER end-to-end on v5e, benchmarks/ab_babe.py + docs/PERF.md;
+    # kept as a tested non-default, ops.dae_fast.block_thomas_babe_factor).
     solver: str = "auto"
     # Particles are processed in chunks of (chunk x n_data) simultaneous DAE
     # systems (lax.map over chunks): bounds the live Jacobian working set
