@@ -16,9 +16,13 @@ import os
 import numpy as np
 
 TAG = os.environ.get("SMC_1E6_TAG", "meth_1e6")
-CKPT = f"/tmp/{TAG}_ck.smcd"
-WALL = f"/tmp/{TAG}_wall.json"
-METRICS = f"/tmp/{TAG}_metrics.jsonl"
+RUN_DIR = os.environ.get(
+    "SMC_1E6_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "results", "run_1e6"))
+CKPT = os.path.join(RUN_DIR, f"{TAG}_ck.smcd")
+WALL = os.path.join(RUN_DIR, f"{TAG}_wall.json")
+METRICS = os.path.join(RUN_DIR, f"{TAG}_metrics.jsonl")
 RESULTS = os.path.join(os.path.dirname(__file__), "results")
 
 
@@ -55,7 +59,8 @@ def main():
         "per_step_metrics": lines,
     }
     os.makedirs(RESULTS, exist_ok=True)
-    name = "meth_1e6_r04.json" if done else "meth_1e6_r04_partial.json"
+    base = "meth_1e6_r04" if TAG == "meth_1e6" else TAG
+    name = base + (".json" if done else "_partial.json")
     json.dump(rec, open(os.path.join(RESULTS, name), "w"), indent=1)
     print(json.dumps({k: rec[k] for k in
                       ("gamma", "steps", "complete", "wall_s",

@@ -37,12 +37,21 @@ N = int(os.environ.get("SMC_1E6_N", 1_000_000))
 BLOCK = int(os.environ.get("SMC_1E6_BLOCK", 100_000))
 CHUNK = int(os.environ.get("SMC_1E6_CHUNK", 512))
 TAG = os.environ.get("SMC_1E6_TAG", "meth_1e6")
-CKPT = f"/tmp/{TAG}_ck.smcd"
-WALL = f"/tmp/{TAG}_wall.json"
-METRICS = f"/tmp/{TAG}_metrics.jsonl"
-OUT = os.path.join(os.path.dirname(__file__), "results",
-                   "meth_1e6_r04.json" if TAG == "meth_1e6"
-                   else TAG + ".json")
+# Run state lives IN THE REPO (not /tmp): the round-4 first attempt lost
+# 67 min of tempering progress to a VM restart because its .smcd lived in
+# /tmp. A committed checkpoint lets the run span VM restarts AND rounds.
+RUN_DIR = os.environ.get(
+    "SMC_1E6_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "results", "run_1e6"))
+CKPT = os.path.join(RUN_DIR, f"{TAG}_ck.smcd")
+WALL = os.path.join(RUN_DIR, f"{TAG}_wall.json")
+METRICS = os.path.join(RUN_DIR, f"{TAG}_metrics.jsonl")
+# Touching this file stops the run cleanly between device executions
+# (driver stop_file; killing the process mid-execution wedges the chip).
+STOP = os.path.join(RUN_DIR, "STOP")
+OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results")
 
 
 def worker() -> None:
@@ -66,12 +75,18 @@ def worker() -> None:
     # state is solver-agnostic: a checkpoint resumes under any engine).
     solver = "auto"
     try:
-        solver = open(f"/tmp/{TAG}_solver.txt").read().strip() or "auto"
+        solver = (open(os.path.join(RUN_DIR, "solver.txt")).read().strip()
+                  or "auto")
     except OSError:
         pass
+    os.makedirs(RUN_DIR, exist_ok=True)
     print(f"worker start: solver={solver}", flush=True)
-    model = MethanationModel.default(n_conditions=30, particle_chunk=CHUNK,
-                                     solver=solver)
+    # nx/conditions overrides exist only for the CPU script-logic smoke;
+    # the real run uses the reference's full nx=51 x 30-condition problem.
+    model = MethanationModel.default(
+        n_conditions=int(os.environ.get("SMC_1E6_COND", 30)),
+        nx=int(os.environ.get("SMC_1E6_NX", 51)),
+        particle_chunk=CHUNK, solver=solver)
     cfg = SMCConfig(n_particles=N, block_particles=BLOCK,
                     max_steps=int(os.environ.get("SMC_1E6_MAX_STEPS", 50)))
 
@@ -94,13 +109,14 @@ def worker() -> None:
 
     st = run_resilient(model, cfg, jax.random.key(0), checkpoint=CKPT,
                        granularity="block", callback=cb, max_restarts=3,
-                       retry_delay_s=120.0, verbose=True)
+                       retry_delay_s=120.0, verbose=True, stop_file=STOP)
     wall = prev_wall + time.perf_counter() - t0
+    complete = float(st.gamma) >= 1.0
     p = np.asarray(st.particles)
     truth = np.asarray(list(KIN_TRUE) + [SIGMA_TRUE])[list(model.est_idx)]
     rec = {
         "n_particles": N, "n_conditions": 30, "block": BLOCK,
-        "chunk": CHUNK, "granularity": "block",
+        "chunk": CHUNK, "granularity": "block", "complete": complete,
         "gamma": float(st.gamma), "steps": int(st.step),
         "wall_s": round(wall, 1),
         "total_lik_evals": float(st.total_lik_evals),
@@ -114,18 +130,26 @@ def worker() -> None:
         "mean_within_1sd": bool(
             (np.abs(p.mean(0) - truth) < np.maximum(p.std(0), 1e-9)).all()),
     }
-    os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    json.dump(rec, open(OUT, "w"))
+    base = ("meth_1e6_r04" if TAG == "meth_1e6" else TAG)
+    out = os.path.join(OUT_DIR,
+                       base + (".json" if complete else "_partial.json"))
+    os.makedirs(OUT_DIR, exist_ok=True)
+    json.dump(rec, open(out, "w"), indent=1)
     print(json.dumps(rec), flush=True)
-    np.savez("/tmp/meth_1e6_posterior.npz", particles=p,
-             gamma=float(st.gamma))
-    print("METH_1E6_DONE", flush=True)
+    if complete:
+        np.savez(os.path.join(RUN_DIR, "posterior.npz"), particles=p,
+                 gamma=float(st.gamma))
+        print("METH_1E6_DONE", flush=True)
+    else:
+        print("METH_1E6_STOPPED (resumable from checkpoint)", flush=True)
 
 
 def main() -> None:
     if "--worker" in sys.argv:
         worker()
         return
+    if os.path.exists(STOP):  # stale stop request from a prior session
+        os.remove(STOP)
     from smc_tpu.utils.resilient import supervise
     rc = supervise([sys.executable, os.path.abspath(__file__), "--worker"],
                    progress_file=CKPT, max_restarts=5, retry_delay_s=120.0)

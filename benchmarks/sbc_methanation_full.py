@@ -40,7 +40,13 @@ NXG = int(os.environ.get("SMC_SBC_NX", 51))
 NCOND = int(os.environ.get("SMC_SBC_COND", 30))
 CHUNK = int(os.environ.get("SMC_SBC_CHUNK", 512))
 LDRAWS = int(os.environ.get("SMC_SBC_L", 127))
-CKPT = "/tmp/sbc_full_ck.smcd"
+# Checkpoint lives in the repo (not /tmp) so ~75 min of chip time
+# survives a VM restart (the round-4 1e6 first attempt lost its /tmp
+# checkpoint exactly that way).
+CKPT = os.environ.get(
+    "SMC_SBC_CKPT",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "results", "run_sbc", "sbc_full_ck.smcd"))
 OUT = os.path.join(os.path.dirname(__file__), "results",
                    os.environ.get("SMC_SBC_OUT",
                                   "sbc_methanation_full_r04.json"))

@@ -37,6 +37,23 @@ logger = logging.getLogger("smc_tpu")
 LogLikFn = Callable[[jnp.ndarray], Tuple[jnp.ndarray, object]]
 
 
+class StopRequested(Exception):
+    """Raised inside a step when a cooperative stop file appears.
+
+    Long detached runs on the single-chip tunnel cannot be preempted
+    safely — killing a process mid-device-execution wedges the chip for
+    ~20 min (CLAUDE.md). ``run_smc(stop_file=...)`` instead polls for the
+    file between device executions (per block/sweep for the bounded
+    granularities, per step for the fused one) and exits cleanly with the
+    last *completed* step's state, which the per-step checkpoint already
+    holds."""
+
+
+def _stop_requested(stop_file: Optional[str]) -> bool:
+    import os
+    return stop_file is not None and os.path.exists(stop_file)
+
+
 _INIT_JIT = {}
 
 
@@ -213,13 +230,16 @@ def make_sweep_step_fns(model, cfg: SMCConfig, psharding=None):
     return prep, jax.jit(init_fn), jax.jit(sweep_fn), finish
 
 
-def _run_step_by_sweeps(state: SMCState, cfg: SMCConfig, fns) -> SMCState:
+def _run_step_by_sweeps(state: SMCState, cfg: SMCConfig, fns,
+                        stop_file: Optional[str] = None) -> SMCState:
     """One SMC step as a host loop over bounded device executions."""
     prep, mut_init, mut_sweep, finish = fns
     key, k_mh, g, parts, lk = prep(state)
     n_mh = cfg.mh_steps_final if float(g.gamma) >= 1.0 else cfg.mh_steps
     c = mut_init(k_mh, parts, lk)
     while int(c.j) < n_mh and not bool(c.done):
+        if _stop_requested(stop_file):
+            raise StopRequested(stop_file)
         c = mut_sweep(c, g.gamma)
     return finish(state, key, g, c)
 
@@ -269,7 +289,8 @@ def make_block_step_fns(model, cfg: SMCConfig, psharding=None):
             None if grad_fn is None else jax.jit(grad_fn), finish)
 
 
-def _run_step_by_blocks(state: SMCState, cfg: SMCConfig, fns) -> SMCState:
+def _run_step_by_blocks(state: SMCState, cfg: SMCConfig, fns,
+                        stop_file: Optional[str] = None) -> SMCState:
     """One SMC step as a host loop over particle-blocked executions."""
     prep, mut_init, draw, core, admin, grad_fn, finish = fns
     block = cfg.block_particles or cfg.n_particles
@@ -283,12 +304,18 @@ def _run_step_by_blocks(state: SMCState, cfg: SMCConfig, fns) -> SMCState:
     c = mut_init(k_mh, parts, lk, g0)
     while int(c.j) < n_mh and not bool(c.done):
         skey, aux_g, aux_r = draw(c)
-        outs = [core(c.particles[s:s + block], c.log_lik[s:s + block],
+        outs = []
+        for s in slabs:
+            if _stop_requested(stop_file):
+                # At N=1e6 a STEP is ~1 h of device time; polling between
+                # ~1-min block executions keeps stop latency ~1 block.
+                raise StopRequested(stop_file)
+            outs.append(
+                core(c.particles[s:s + block], c.log_lik[s:s + block],
                      c.log_prior[s:s + block],
                      c.grad if c.grad.ndim == 0 else c.grad[s:s + block],
                      c.mh_ratio, aux_g,
-                     tuple(a[s:s + block] for a in aux_r), g.gamma)
-                for s in slabs]
+                     tuple(a[s:s + block] for a in aux_r), g.gamma))
         parts_n = jnp.concatenate([o[0] for o in outs])
         lk_n = jnp.concatenate([o[1] for o in outs])
         lp_n = jnp.concatenate([o[2] for o in outs])
@@ -311,7 +338,8 @@ def run_smc(model, cfg: SMCConfig, key: jax.Array,
             callback: Optional[Callable[[SMCState], None]] = None,
             state: Optional[SMCState] = None,
             verbose: bool = True, psharding=None,
-            granularity: str = "step") -> SMCState:
+            granularity: str = "step",
+            stop_file: Optional[str] = None) -> SMCState:
     """Host-observable SMC run: jitted steps, per-step metric line.
 
     ``state`` may be a checkpointed state to resume from.
@@ -325,6 +353,13 @@ def run_smc(model, cfg: SMCConfig, key: jax.Array,
     cfg.block_particles`` executions (make_block_step_fns) — required
     when even one sweep exceeds the worker ceiling (N >= ~1e6
     methanation). All three run identical math and PRNG streams.
+
+    ``stop_file``: optional path polled between device executions; when it
+    appears the run returns the last completed step's state immediately
+    (cooperative preemption — the only safe way to stop a detached run on
+    the single-chip tunnel, see :class:`StopRequested`). An in-flight
+    step's device work is abandoned, matching what a checkpoint reload
+    would replay anyway.
     """
     if granularity not in ("step", "sweep", "block"):
         raise ValueError(f"unknown granularity {granularity!r}")
@@ -332,16 +367,30 @@ def run_smc(model, cfg: SMCConfig, key: jax.Array,
         state = init_state(key, model, cfg)
     if granularity == "block":
         block_fns = make_block_step_fns(model, cfg, psharding=psharding)
-        step_fn = lambda s: _run_step_by_blocks(s, cfg, block_fns)  # noqa: E731
+        step_fn = lambda s: _run_step_by_blocks(s, cfg, block_fns,  # noqa: E731
+                                                stop_file=stop_file)
     elif granularity == "sweep":
         sweep_fns = make_sweep_step_fns(model, cfg, psharding=psharding)
-        step_fn = lambda s: _run_step_by_sweeps(s, cfg, sweep_fns)  # noqa: E731
+        step_fn = lambda s: _run_step_by_sweeps(s, cfg, sweep_fns,  # noqa: E731
+                                                stop_file=stop_file)
     else:
         step_fn = make_smc_step(model, cfg, donate=False,
                                 psharding=psharding)
     t0 = time.perf_counter()
     while int(state.step) < cfg.max_steps and float(state.gamma) < 1.0:
-        state = step_fn(state)
+        if _stop_requested(stop_file):
+            (logger.warning if logger.handlers else print)(
+                f"run_smc: stop file {stop_file} present — returning at "
+                f"step {int(state.step)} gamma={float(state.gamma):.6f}")
+            return state
+        try:
+            state = step_fn(state)
+        except StopRequested:
+            (logger.warning if logger.handlers else print)(
+                f"run_smc: stop requested mid-step — returning last "
+                f"completed step {int(state.step)} "
+                f"gamma={float(state.gamma):.6f}")
+            return state
         if verbose:
             # Field-parity with the reference metric line (C26,
             # SMC_methanation_main.py:410).

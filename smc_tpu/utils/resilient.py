@@ -69,7 +69,7 @@ def run_resilient(model, cfg, key, *, checkpoint: str,
                   callback: Optional[Callable] = None,
                   max_restarts: int = 5, retry_delay_s: float = 30.0,
                   verbose: bool = True, psharding=None, state=None,
-                  resume: bool = True):
+                  resume: bool = True, stop_file: Optional[str] = None):
     """``run_smc`` with per-step checkpointing and reload-on-failure.
 
     Every completed SMC step is checkpointed to ``checkpoint`` (format by
@@ -79,7 +79,9 @@ def run_resilient(model, cfg, key, *, checkpoint: str,
     ``max_restarts`` consecutive failures *without step progress* are
     retried before the last exception propagates. If ``resume`` and a
     checkpoint already exists, the run starts from it (crash-before-launch
-    / supervised-reexec recovery).
+    / supervised-reexec recovery). ``stop_file`` is forwarded to
+    ``run_smc`` (cooperative preemption: the run returns its last
+    completed, already-checkpointed step — not an error, no retry).
     """
     from smc_tpu.io.checkpoint import load_state
     from smc_tpu.smc.driver import init_state, run_smc
@@ -105,7 +107,7 @@ def run_resilient(model, cfg, key, *, checkpoint: str,
                 save(checkpoint, state)
             return run_smc(model, cfg, key, callback=cb, state=state,
                            verbose=verbose, psharding=psharding,
-                           granularity=granularity)
+                           granularity=granularity, stop_file=stop_file)
         except (KeyboardInterrupt, SystemExit):
             raise
         except Exception as e:  # noqa: BLE001 — deliberate catch-all:

@@ -179,3 +179,44 @@ def test_supervise_passes_env(tmp_path):
                       "os.environ.get('SMC_T')=='1' else 5)")
     assert supervise([sys.executable, str(script)], env={"SMC_T": "1"},
                      max_restarts=0, retry_delay_s=0.0) == 0
+
+
+def test_stop_file_between_steps(model, tmp_path):
+    """Cooperative preemption: touching stop_file makes the run return its
+    last completed (checkpointed) step instead of tempering to gamma=1 —
+    the only safe way to stop a detached run on the single-chip tunnel."""
+    ckpt = str(tmp_path / "ck.npz")
+    stop = str(tmp_path / "STOP")
+
+    def cb(st):
+        if int(st.step) == 2:
+            open(stop, "w").close()
+
+    st = run_resilient(model, _cfg(), jax.random.key(3), checkpoint=ckpt,
+                       callback=cb, retry_delay_s=0.0, verbose=False,
+                       stop_file=stop)
+    assert int(st.step) == 2
+    assert float(st.gamma) < 1.0
+    # the returned state is exactly the checkpointed one: a later resume
+    # continues from here (remove the stop file first) and completes
+    os.remove(stop)
+    st2 = run_resilient(model, _cfg(), jax.random.key(3), checkpoint=ckpt,
+                        retry_delay_s=0.0, verbose=False, stop_file=stop)
+    assert float(st2.gamma) == 1.0
+    assert int(st2.step) > 2
+
+
+def test_stop_file_mid_step_block_granularity(model, tmp_path):
+    """A stop file present before the first block execution aborts the
+    in-flight step and returns the last completed state (block granularity
+    polls between ~1-min device executions at 1e6 scale)."""
+    from smc_tpu.smc.driver import init_state, run_smc
+
+    cfg = SMCConfig(n_particles=256, block_particles=64)
+    stop = str(tmp_path / "STOP")
+    st0 = init_state(jax.random.key(4), model, cfg)
+    open(stop, "w").close()
+    st = run_smc(model, cfg, jax.random.key(4), state=st0, verbose=False,
+                 granularity="block", stop_file=stop)
+    assert int(st.step) == int(st0.step)
+    assert float(st.gamma) == float(st0.gamma)
