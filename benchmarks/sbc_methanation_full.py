@@ -38,7 +38,13 @@ R = int(os.environ.get("SMC_SBC_R", 128))
 N = int(os.environ.get("SMC_SBC_N", 512))
 NXG = int(os.environ.get("SMC_SBC_NX", 51))
 NCOND = int(os.environ.get("SMC_SBC_COND", 30))
-CHUNK = int(os.environ.get("SMC_SBC_CHUNK", 512))
+# Per-REPLICATE likelihood chunk. The ensemble program vmaps the march
+# over all R replicates, so device working-set scales with R*chunk*30
+# lanes: chunk 512 materializes f32[128,7,7,51,15360] Jacobian blocks =
+# 19.7 GB and OOMs the 16 GB chip (measured 2026-08-20, AOT PJRT error).
+# chunk 16 -> 61,440 lanes in flight (4x the flagship march's 15,360 —
+# VPU still saturated) at ~3.7 GB.
+CHUNK = int(os.environ.get("SMC_SBC_CHUNK", 16))
 LDRAWS = int(os.environ.get("SMC_SBC_L", 127))
 # Checkpoint lives in the repo (not /tmp) so ~75 min of chip time
 # survives a VM restart (the round-4 1e6 first attempt lost its /tmp
