@@ -97,9 +97,10 @@ def main():
     attempts = 4
     while True:
         try:
-            states = run_ensemble_sweeps(k_run, prior, loglik, data, R,
-                                         cfg, verbose=True, callback=cb,
-                                         states=states)
+            states = run_ensemble_sweeps(
+                k_run, prior, loglik, data, R, cfg, verbose=True,
+                callback=cb, states=states,
+                stop_file=os.path.join(os.path.dirname(CKPT), "STOP"))
             break
         except (KeyboardInterrupt, SystemExit):
             raise

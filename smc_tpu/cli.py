@@ -79,6 +79,14 @@ def _add_common(p):
                         "failure, reload it and continue; at most this "
                         "many consecutive no-progress failures are "
                         "retried (0 = off)")
+    p.add_argument("--stop-file", default=None, metavar="PATH",
+                   help="cooperative preemption: poll PATH between device "
+                        "executions and, when it appears, finalize cleanly "
+                        "with the last completed step (artifacts + "
+                        "checkpoint written; resume later with 'smc-tpu "
+                        "resume'). The safe way to stop a long detached "
+                        "run — killing the process mid-execution can wedge "
+                        "the device")
 
 
 def _build_model(args):
@@ -187,7 +195,8 @@ def _run_inner(args, model, truth, cfg, key):
         else:
             final = run_smc(model, cfg, key, state=state, psharding=psh,
                             verbose=not args.quiet,
-                            granularity=args.granularity)
+                            granularity=args.granularity,
+                            stop_file=getattr(args, "stop_file", None))
         p = np.asarray(final.particles)
         rd = RunDir(root=args.outdir, tag=args.model)
         from smc_tpu.io.csvio import save_posterior_csv
@@ -200,7 +209,8 @@ def _run_inner(args, model, truth, cfg, key):
             verbose=not args.quiet,
             granularity=getattr(args, "granularity", "step"),
             checkpoint_format=getattr(args, "checkpoint_format", "auto"),
-            max_restarts=getattr(args, "max_restarts", 0))
+            max_restarts=getattr(args, "max_restarts", 0),
+            stop_file=getattr(args, "stop_file", None))
         p = np.asarray(final.particles)
 
     print(f"gamma: {float(final.gamma)}  steps: {int(final.step)}  "

@@ -157,7 +157,8 @@ def run_with_artifacts(model, cfg: SMCConfig, key,
                        mesh=None,
                        granularity: str = "step",
                        checkpoint_format: str = "auto",
-                       max_restarts: int = 0):
+                       max_restarts: int = 0,
+                       stop_file: Optional[str] = None):
     """Full orchestrated run; returns (final_state, rundir).
 
     ``mesh``: optional jax.sharding.Mesh — the particle axis is sharded over
@@ -173,6 +174,12 @@ def run_with_artifacts(model, cfg: SMCConfig, key,
     reloads it and continues — up to ``max_restarts`` consecutive
     failures without step progress (replaces the reference's Ray memory
     watchdog, methanation_functions.py:73-78).
+
+    ``stop_file``: optional path polled between device executions
+    (driver ``stop_file``); touching it makes the run finalize cleanly
+    with the last completed step's state — the safe way to preempt a
+    long detached run (artifacts, posterior CSVs, and the checkpoint are
+    still written, so the run can later be resumed with ``resume_from``).
 
     On a multi-host pod only the primary host (jax.process_index()==0) owns
     artifact IO: non-primary processes run the same SPMD compute but create
@@ -217,11 +224,12 @@ def run_with_artifacts(model, cfg: SMCConfig, key,
             state = run_resilient(
                 model, cfg, key, checkpoint=ckpt, callback=mgr, state=state,
                 max_restarts=max_restarts, verbose=verbose and primary,
-                psharding=psharding, granularity=granularity, resume=False)
+                psharding=psharding, granularity=granularity, resume=False,
+                stop_file=stop_file)
         else:
             state = run_smc(model, cfg, key, callback=mgr, state=state,
                             verbose=verbose and primary, psharding=psharding,
-                            granularity=granularity)
+                            granularity=granularity, stop_file=stop_file)
         if verbose and primary:
             print(f"end_time:{time.perf_counter() - t0}")
         if mgr is not None:

@@ -208,13 +208,18 @@ def make_ensemble_sweep_fns(prior: Prior, loglik_fn: DataLogLik,
 def run_ensemble_sweeps(key: jax.Array, prior: Prior,
                         loglik_fn: DataLogLik, data, n_datasets: int,
                         cfg: SMCConfig, verbose: bool = False,
-                        callback=None, states: SMCState = None) -> SMCState:
+                        callback=None, states: SMCState = None,
+                        stop_file=None) -> SMCState:
     """Host-observed ensemble run with every device execution bounded to
     at most one mutation sweep of the ensemble (see
     :func:`make_ensemble_sweep_fns`). ``callback(states)`` fires after
     every ensemble step (checkpointing hook for long on-chip SBC runs);
-    pass ``states`` to resume."""
+    pass ``states`` to resume. ``stop_file``: as in ``run_smc`` —
+    touching it returns the last completed (checkpointed) ensemble step
+    cleanly instead of tempering every replicate to gamma=1."""
     import numpy as np
+
+    from smc_tpu.smc.driver import _stop_requested
 
     einit, prep, mut_init, mut_sweep, finish = make_ensemble_sweep_fns(
         prior, loglik_fn, n_datasets, cfg)
@@ -222,6 +227,11 @@ def run_ensemble_sweeps(key: jax.Array, prior: Prior,
         states = einit(key, data)
     while bool(jnp.any((states.gamma < 1.0)
                        & (states.step < cfg.max_steps))):
+        if _stop_requested(stop_file):
+            print(f"run_ensemble_sweeps: stop file {stop_file} present — "
+                  f"returning at max step "
+                  f"{int(np.asarray(states.step).max())}", flush=True)
+            return states
         key_n, k_mh, g, parts, lk = prep(states)
         n_mh_d = np.where(np.asarray(g.gamma) >= 1.0, cfg.mh_steps_final,
                           cfg.mh_steps)

@@ -100,3 +100,27 @@ def test_cli_ensemble(capsys):
     out = capsys.readouterr().out
     assert "dataset 0: gamma=1.000" in out
     assert "dataset 1: gamma=1.000" in out
+
+
+def test_cli_run_stop_file_preempts_and_resumes(tmp_path, capsys):
+    """--stop-file present from the start: the run finalizes immediately
+    with its initial state (artifacts + checkpoint written), and a later
+    'resume' without the stop file completes to gamma=1 — the cooperative
+    preemption surface for long detached runs."""
+    stop = tmp_path / "STOP"
+    stop.write_text("")
+    rc = main(["run", "--model", "banana", "--particles", "256",
+               "--stop-file", str(stop), "--outdir", str(tmp_path / "o"),
+               "--quiet", "--no-plots"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "gamma: 0.0" in out  # preempted before any step
+    run = tmp_path / "o" / os.listdir(tmp_path / "o")[0]
+    ck = run / "checkpoints" / "final.npz"
+    assert os.path.exists(ck)
+    os.remove(stop)
+    rc = main(["resume", "--checkpoint", str(ck), "--model", "banana",
+               "--particles", "256", "--outdir", str(tmp_path / "o"),
+               "--quiet", "--no-plots"])
+    assert rc == 0
+    assert "gamma: 1.0" in capsys.readouterr().out
