@@ -138,3 +138,26 @@ def test_ensemble_sweeps_freezes_finished_populations():
             snaps[later]["particles"][fast], snaps[first]["particles"][fast])
         np.testing.assert_array_equal(snaps[later]["key"][fast],
                                       snaps[first]["key"][fast])
+
+
+def test_ensemble_sweeps_stop_file(tmp_path):
+    """A stop file present from the start returns the initial ensemble
+    states (no tempering) — cooperative preemption for long on-chip SBC
+    runs; removing it lets a resumed call complete every population."""
+    from smc_tpu.smc.ensemble import run_ensemble_sweeps
+
+    ts, obs0, s0 = generate_mm_pseudo_data()
+    obs = jnp.stack([jnp.asarray(obs0)] * 2)
+    loglik = make_mm_data_loglik(jnp.asarray(ts), jnp.asarray(s0))
+    prior = Prior.uniform([0.0, 0.0, 0.0], [10.0, 10.0, 10.0])
+    cfg = SMCConfig(n_particles=128)
+    stop = tmp_path / "STOP"
+    stop.write_text("")
+    states = run_ensemble_sweeps(jax.random.key(5), prior, loglik, obs, 2,
+                                 cfg, stop_file=str(stop))
+    assert (np.asarray(states.gamma) < 1.0).all()
+    assert (np.asarray(states.step) == 0).all()
+    stop.unlink()
+    states = run_ensemble_sweeps(jax.random.key(5), prior, loglik, obs, 2,
+                                 cfg, states=states, stop_file=str(stop))
+    assert (np.asarray(states.gamma) == 1.0).all()
