@@ -51,10 +51,8 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results",
 
 
 def _take(state, idx):
-    """Leading-axis gather across every leaf of an ensemble SMCState
-    (PRNG key leaves support fancy indexing like any jax array)."""
-    return jax.tree_util.tree_map(
-        lambda x: x[idx] if getattr(x, "ndim", 0) else x, state)
+    from smc_tpu.smc.ensemble import take_datasets
+    return take_datasets(state, idx)
 
 
 def main():

@@ -30,6 +30,30 @@ from smc_tpu.smc.state import SMCState
 DataLogLik = Callable[[jnp.ndarray, object], Tuple[jnp.ndarray, object]]
 
 
+def take_datasets(states: SMCState, idx) -> SMCState:
+    """Slice an ensemble state down to the datasets in ``idx`` (any
+    leading-axis index: array, list, or boolean mask converted upstream).
+
+    Every leaf with a leading dataset axis — including the per-dataset
+    PRNG key leaf — is gathered, so the returned state is a fully valid
+    smaller ensemble: each selected population keeps its exact particles,
+    tempering position, controller state, and PRNG stream, and can be
+    continued with ``run_ensemble_sweeps(..., states=take_datasets(...))``.
+
+    Why this exists: population ladders differ by orders of magnitude
+    (sharp-likelihood replicates climb gamma in 1e-6 steps), and the SPMD
+    freeze mask means a full-ensemble sweep keeps paying device time for
+    frozen populations — 73% waste by step 8 of the round-4 128-replicate
+    SBC. Compacting to the still-tempering populations cut its remaining
+    wall by ~3.4x (benchmarks/sbc_methanation_cont.py). Statistically
+    free: each population's posterior depends only on its own state/data/
+    keys, all of which are preserved verbatim.
+    """
+    idx = jnp.asarray(idx)
+    return jax.tree_util.tree_map(
+        lambda x: x[idx] if getattr(x, "ndim", 0) else x, states)
+
+
 def init_ensemble(key: jax.Array, prior: Prior, loglik_fn: DataLogLik,
                   data, n_datasets: int, cfg: SMCConfig) -> SMCState:
     """Stacked SMCState with leading dataset axis D."""

@@ -161,3 +161,42 @@ def test_ensemble_sweeps_stop_file(tmp_path):
     states = run_ensemble_sweeps(jax.random.key(5), prior, loglik, obs, 2,
                                  cfg, states=states, stop_file=str(stop))
     assert (np.asarray(states.gamma) == 1.0).all()
+
+
+def test_take_datasets_compacts_and_continues():
+    """take_datasets slices a mid-run ensemble down to chosen populations
+    (state, controller, and per-dataset PRNG keys preserved) and the
+    compacted ensemble continues to the same completed posteriors as the
+    full one — the SBC-continuation pattern (sbc_methanation_cont.py)."""
+    from smc_tpu.smc.ensemble import run_ensemble_sweeps, take_datasets
+
+    ts, obs0, s0 = generate_mm_pseudo_data()
+    d_sets = 3
+    keys = jax.random.split(jax.random.key(21), d_sets)
+    obs = jnp.stack([jnp.asarray(obs0) +
+                     0.02 * jax.random.normal(k, obs0.shape) for k in keys])
+    loglik = make_mm_data_loglik(jnp.asarray(ts), jnp.asarray(s0))
+    prior = Prior.uniform([0.0, 0.0, 0.0], [10.0, 10.0, 10.0])
+
+    two = SMCConfig(n_particles=128, max_steps=2)
+    mid = run_ensemble_sweeps(jax.random.key(7), prior, loglik, obs,
+                              d_sets, two)
+    assert (np.asarray(mid.step) == 2).all()
+
+    cfg = SMCConfig(n_particles=128)
+    idx = np.array([0, 2])
+    sub = take_datasets(mid, idx)
+    assert np.asarray(sub.particles).shape[0] == 2
+    np.testing.assert_array_equal(np.asarray(sub.gamma),
+                                  np.asarray(mid.gamma)[idx])
+
+    full = run_ensemble_sweeps(jax.random.key(7), prior, loglik, obs,
+                               d_sets, cfg, states=mid)
+    comp = run_ensemble_sweeps(jax.random.key(7), prior, loglik, obs[idx],
+                               2, cfg, states=sub)
+    assert (np.asarray(comp.gamma) == 1.0).all()
+    pf = np.asarray(full.particles)[idx]
+    pc = np.asarray(comp.particles)
+    np.testing.assert_allclose(
+        pf.mean(axis=1), pc.mean(axis=1),
+        atol=4 * float(pf.std(axis=1).max()) / np.sqrt(128))
