@@ -119,12 +119,20 @@ def main():
 
     cpu_1core = _cpu_baseline_updates_per_sec()
     baseline_30core = 30.0 * cpu_1core
+    # The live probe swings ~2x with host load (70,485 -> 41,648 between
+    # rounds, docs/PERF.md "vs_baseline variance"); PINNED uses the
+    # recorded calibrated idle single-core figure (112.6 updates/s/core,
+    # PERF.md) so cross-round JSONs stay comparable. Both are emitted:
+    # vs_baseline (live, contract key) + vs_baseline_pinned (stable).
+    PINNED_CPU_1CORE = 112.6
 
     print(json.dumps({
         "metric": "particle-weight-updates/sec/chip @ 1e5 particles (MM)",
         "value": round(ups, 1),
         "unit": "updates/s",
         "vs_baseline": round(ups / baseline_30core, 2),
+        "vs_baseline_pinned": round(ups / (30.0 * PINNED_CPU_1CORE), 2),
+        "cpu_probe_updates_per_s_core": round(cpu_1core, 1),
     }))
 
 

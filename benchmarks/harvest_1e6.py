@@ -42,7 +42,11 @@ def main():
     truth = [13.04, 52200.0, 114700.0, 96700.0, 5.0]
     done = gamma >= 1.0
     rec = {
-        "n_particles": int(p.shape[0]), "n_conditions": 30,
+        "n_particles": int(p.shape[0]),
+        # Mirror run_methanation_1e6.py's model construction so an
+        # override/smoke run is distinguishable from the real full grid.
+        "n_conditions": int(os.environ.get("SMC_1E6_COND", 30)),
+        "nx": int(os.environ.get("SMC_1E6_NX", 51)),
         "granularity": "block", "gamma": gamma, "steps": step,
         "complete": bool(done),
         "wall_s": None if wall is None else round(wall, 1),
@@ -59,7 +63,7 @@ def main():
         "per_step_metrics": lines,
     }
     os.makedirs(RESULTS, exist_ok=True)
-    base = "meth_1e6_r04" if TAG == "meth_1e6" else TAG
+    base = "meth_1e6_r05" if TAG == "meth_1e6" else TAG
     name = base + (".json" if done else "_partial.json")
     json.dump(rec, open(os.path.join(RESULTS, name), "w"), indent=1)
     print(json.dumps({k: rec[k] for k in

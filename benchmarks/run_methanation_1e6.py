@@ -115,7 +115,8 @@ def worker() -> None:
     p = np.asarray(st.particles)
     truth = np.asarray(list(KIN_TRUE) + [SIGMA_TRUE])[list(model.est_idx)]
     rec = {
-        "n_particles": N, "n_conditions": 30, "block": BLOCK,
+        "n_particles": N, "n_conditions": model.n_conditions,
+        "nx": model.nx, "block": BLOCK,
         "chunk": CHUNK, "granularity": "block", "complete": complete,
         "gamma": float(st.gamma), "steps": int(st.step),
         "wall_s": round(wall, 1),
@@ -130,7 +131,7 @@ def worker() -> None:
         "mean_within_1sd": bool(
             (np.abs(p.mean(0) - truth) < np.maximum(p.std(0), 1e-9)).all()),
     }
-    base = ("meth_1e6_r04" if TAG == "meth_1e6" else TAG)
+    base = ("meth_1e6_r05" if TAG == "meth_1e6" else TAG)
     out = os.path.join(OUT_DIR,
                        base + (".json" if complete else "_partial.json"))
     os.makedirs(OUT_DIR, exist_ok=True)

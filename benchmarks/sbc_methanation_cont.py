@@ -97,13 +97,34 @@ def main():
     m_particles = np.array(base.particles)   # writable copies (the
     m_gamma = np.array(g0)                   # .smcd loader hands back
     m_step = np.array(base.step)             # read-only mmap views)
+    # Persist the active-index map next to CKPT2 and validate it on
+    # resume: a base checkpoint that advanced since CKPT2 was written
+    # (or a redirected SMC_SBC_CKPT) with the SAME active count would
+    # otherwise pair replicates with the wrong datasets silently (a
+    # different count fails loudly via vmap shape mismatch).
+    act_idx_file = CKPT2 + ".act_idx.json"
     if len(act_idx):
         if checkpoint_exists(CKPT2):
+            try:
+                saved_idx = json.load(open(act_idx_file))
+            except OSError:
+                raise SystemExit(
+                    f"{CKPT2} exists but {act_idx_file} is missing — "
+                    "cannot verify replicate/dataset pairing; delete the "
+                    "compacted checkpoint to restart the continuation")
+            if saved_idx != act_idx.tolist():
+                raise SystemExit(
+                    f"active-set mismatch: {act_idx_file} was written for "
+                    f"indices {saved_idx} but the current base checkpoint "
+                    f"gives {act_idx.tolist()} — the base advanced or "
+                    "SMC_SBC_CKPT points elsewhere; delete the compacted "
+                    "checkpoint to restart the continuation")
             act = load_state(CKPT2)
             print(f"resuming compacted ensemble: "
                   f"{int(np.sum(np.asarray(act.gamma) < 1.0))}"
                   f"/{len(act_idx)} active", flush=True)
         else:
+            json.dump(act_idx.tolist(), open(act_idx_file, "w"))
             act = _take(base, act_idx)
         data_act = jnp.asarray(np.asarray(data)[act_idx])
 

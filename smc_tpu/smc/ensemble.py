@@ -49,6 +49,12 @@ def take_datasets(states: SMCState, idx) -> SMCState:
     free: each population's posterior depends only on its own state/data/
     keys, all of which are preserved verbatim.
     """
+    if getattr(states.gamma, "ndim", 0) != 1:
+        raise ValueError(
+            "take_datasets expects an ensemble state (leading dataset "
+            "axis: per-dataset gamma is (D,), got ndim="
+            f"{getattr(states.gamma, 'ndim', 0)}); a single-run SMCState "
+            "would be silently sliced along the particle axis")
     idx = jnp.asarray(idx)
     return jax.tree_util.tree_map(
         lambda x: x[idx] if getattr(x, "ndim", 0) else x, states)
@@ -262,6 +268,15 @@ def run_ensemble_sweeps(key: jax.Array, prior: Prior,
         frozen = np.asarray(states.gamma) >= 1.0
         c = mut_init(k_mh, parts, lk, data)
         while True:
+            # Poll between every bounded device execution (one step at SBC
+            # scale is many ~40s sweeps), matching _run_step_by_sweeps'
+            # stop latency; return the pre-step states so the caller gets
+            # the same last-COMPLETED-step semantics either way.
+            if _stop_requested(stop_file):
+                print(f"run_ensemble_sweeps: stop file {stop_file} present "
+                      f"mid-step — returning last completed step "
+                      f"{int(np.asarray(states.step).max())}", flush=True)
+                return states
             active = (~np.asarray(c.done) & (np.asarray(c.j) < n_mh_d)
                       & ~frozen)
             if not active.any():

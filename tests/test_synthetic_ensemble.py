@@ -200,3 +200,20 @@ def test_take_datasets_compacts_and_continues():
     np.testing.assert_allclose(
         pf.mean(axis=1), pc.mean(axis=1),
         atol=4 * float(pf.std(axis=1).max()) / np.sqrt(128))
+
+
+def test_take_datasets_rejects_single_run_state():
+    """A single-run SMCState has scalar gamma; take_datasets must refuse
+    it loudly instead of silently slicing along the particle axis
+    (ADVICE r04)."""
+    import pytest
+
+    from smc_tpu.smc.driver import run_smc
+    from smc_tpu.smc.ensemble import take_datasets
+    from smc_tpu.models.michaelis_menten import MichaelisMentenModel
+
+    model = MichaelisMentenModel.default()
+    st = run_smc(model, SMCConfig(n_particles=64, max_steps=1),
+                 jax.random.key(0))
+    with pytest.raises(ValueError, match="ensemble state"):
+        take_datasets(st, np.array([0, 1]))
