@@ -64,6 +64,14 @@ def _lu_sT(LU, r):
 # the experiment stays reproducible on future hardware.
 _FUSED_FACTOR = False
 
+# Store the block-Thomas factors (LUs, ms, C) in bfloat16 between the
+# factor and apply phases: halves factor HBM re-reads on the Jacobian-lag
+# reuse steps at the cost of bf16<->f32 converts inside the apply scan
+# bodies (and ~3 decimal digits of solve accuracy — modified Newton
+# tolerates an approximate solve, the convergence masks still gate on the
+# fp32 residual). Trace-time experiment flag (benchmarks/ab_bf16_factors.py).
+_BF16_FACTORS = False
+
 
 def _swap_rows(M, R, c, r):
     """Conditionally swap rows c and r so |M[c][c]| is maximal (pairwise)."""
@@ -345,7 +353,13 @@ def block_thomas_apply(LUs, ms, C, rhs):
     Accepts column-padded factors (nf, nfp>=nf, B) blocks as produced by
     the Pallas factor kernel (thomas_pallas.block_thomas_factor_pl): the
     pad columns are dropped by value slices inside the scan bodies, which
-    fuse into the block algebra (no materialized copies)."""
+    fuse into the block algebra (no materialized copies).
+
+    Factors narrower than rhs (the _BF16_FACTORS experiment) are cast
+    back per-slice INSIDE the scan bodies, so HBM reads stay at the
+    stored width and only the live block widens."""
+    cast = ((lambda M: M.astype(rhs.dtype)) if LUs.dtype != rhs.dtype
+            else (lambda M: M))
     nf = rhs.shape[1]
     # Column-padded factors (Pallas factor kernel output) are consumed by
     # carrying the sweep vectors at the padded width with zero tail rows —
@@ -358,19 +372,19 @@ def block_thomas_apply(LUs, ms, C, rhs):
 
     def fwd(rp_prev, inp):
         mi, ri = inp
-        rp = ri - _matvec_bl(mi, rp_prev)
+        rp = ri - _matvec_bl(cast(mi), rp_prev)
         return wide(rp), rp
 
     rp0 = rhs[0]
     _, rps = lax.scan(fwd, wide(rp0), (ms[1:], rhs[1:]), unroll=_NX_UNROLL)
     rps = jnp.concatenate([rp0[None], rps], axis=0)
 
-    xn = _lu_s(LUs[-1], rps[-1][:, None, :])[:, 0, :]
+    xn = _lu_s(cast(LUs[-1]), rps[-1][:, None, :])[:, 0, :]
 
     def bwd(x_next, inp):
         LU, rp, Ci = inp
-        x = _lu_s(LU, (rp - _matvec_bl(Ci, x_next))[:, None, :]
-                      )[:, 0, :]
+        x = _lu_s(cast(LU), (rp - _matvec_bl(cast(Ci), x_next))[:, None, :]
+                  )[:, 0, :]
         return wide(x), x
 
     _, xs = lax.scan(bwd, wide(xn), (LUs[:-1], rps[:-1], C[:-1]),
@@ -768,6 +782,9 @@ def _newton_kit(rows_bl: Callable, y0: jnp.ndarray, pivot: bool,
             from smc_tpu.ops.thomas_pallas import block_thomas_factor_pl
             return block_thomas_factor_pl(A_, B_, C_)
         LUs, ms = block_thomas_factor(A_, B_, C_)
+        if _BF16_FACTORS:
+            return (LUs.astype(jnp.bfloat16), ms.astype(jnp.bfloat16),
+                    C_.astype(jnp.bfloat16))
         return (LUs, ms, C_)
 
     def apply_(fac, rhs):

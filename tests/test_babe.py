@@ -92,3 +92,42 @@ def test_babe_engine_likelihood_parity():
     ll_b = np.asarray(jax.jit(m_b.log_likelihood)(th)[0])
     np.testing.assert_allclose(ll_b, ll_t,
                                rtol=1e-4, atol=1e-3)
+
+
+def test_bf16_factor_storage_apply():
+    """bf16-stored factors (the _BF16_FACTORS experiment,
+    benchmarks/ab_bf16_factors.py) solve the same systems to ~bf16
+    relative accuracy — block_thomas_apply casts per-slice inside the
+    scan bodies when the factor dtype is narrower than the rhs."""
+    rng = np.random.default_rng(3)
+    A, B, C = _random_system(rng, 17, permuted_outlet=False)
+    rhs = jnp.asarray(rng.standard_normal((17, 7, 16)).astype(np.float32))
+    LUs, ms = block_thomas_factor(A, B, C)
+    x_ref = np.asarray(block_thomas_apply(LUs, ms, C, rhs))
+    x_bf = np.asarray(block_thomas_apply(
+        LUs.astype(jnp.bfloat16), ms.astype(jnp.bfloat16),
+        C.astype(jnp.bfloat16), rhs))
+    assert x_bf.dtype == np.float32
+    scale = np.abs(x_ref).max()
+    np.testing.assert_allclose(x_bf, x_ref, atol=3e-2 * max(scale, 1.0))
+
+
+def test_bf16_factor_flag_end_to_end():
+    """The trace-time flag wires through the methanation engine: the
+    likelihood stays finite and close to the fp32 path on an in-support
+    probe (cheap nx to keep CPU compile bounded)."""
+    from smc_tpu.models.methanation import MethanationModel
+    from smc_tpu.ops import dae_fast
+
+    theta = jnp.tile(jnp.asarray(
+        [[13.04, 52.2e3, 1.147e5, 96.7e3, 5.0]], jnp.float32), (8, 1))
+    model = MethanationModel.default(n_conditions=4, nx=11,
+                                     particle_chunk=8, solver="thomas")
+    la = np.asarray(model.log_likelihood(theta)[0])
+    dae_fast._BF16_FACTORS = True
+    try:
+        lb = np.asarray(model.log_likelihood(theta)[0])
+    finally:
+        dae_fast._BF16_FACTORS = False
+    assert np.isfinite(lb).all()
+    np.testing.assert_allclose(lb, la, rtol=0, atol=2e-2 * abs(la).max())
