@@ -115,7 +115,7 @@ def worker() -> None:
     p = np.asarray(st.particles)
     truth = np.asarray(list(KIN_TRUE) + [SIGMA_TRUE])[list(model.est_idx)]
     rec = {
-        "n_particles": N, "n_conditions": model.n_conditions,
+        "n_particles": N, "n_conditions": model.cond.n_data,
         "nx": model.nx, "block": BLOCK,
         "chunk": CHUNK, "granularity": "block", "complete": complete,
         "gamma": float(st.gamma), "steps": int(st.step),
